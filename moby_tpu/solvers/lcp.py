@@ -1,0 +1,408 @@
+"""Batched, fixed-shape LCP solvers.
+
+Finds z >= 0 with w = M z + q >= 0 and z'w = 0.
+
+Two algorithms mirroring the reference's numerical core (`src/LCP.cpp`):
+
+* :func:`lcp_fast` — principal pivoting method ("PPM I", reference
+  src/LCP.cpp:41-196) for monotone LCPs; supports warm starting from a
+  previous solution (basis seeded from nonzero entries).
+* :func:`lcp_lemke` — Lemke's algorithm with covering vector on the negative
+  components (reference src/LCP.cpp:545-1003); the robust fallback.
+* :func:`lcp_fast_regularized` / :func:`lcp_lemke_regularized` — Tikhonov
+  sweeps λ = 10^k over an exponent range with solution verification
+  (reference src/LCP.cpp:212-353, 353-487).
+
+TPU-native design: everything is fixed-shape and mask-padded so it `vmap`s
+over thousands of independent contact problems and `jit`s whole. A problem of
+true size m lives in an n-slot padded system; padded slots carry M_ii = 1,
+q_i = +1 which keeps them inert in every pivot rule (their w stays positive,
+their z stays zero). Dynamic pivoting is a `lax.while_loop` with the same
+iteration caps as the reference (2m for PPM, min(1000, 50m) for Lemke).
+Each pivot re-solves the basis system densely (LU), exactly like the
+reference's `solve_fast`; basis bookkeeping is done with masks instead of
+index vectors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _eps(dtype):
+    return float(np.finfo(np.dtype(dtype)).eps)
+
+
+def _masked_norm_inf(M, mask):
+    """inf-norm (max abs row sum) over the active submatrix."""
+    outer = mask[:, None] & mask[None, :]
+    rows = jnp.sum(jnp.abs(jnp.where(outer, M, 0.0)), axis=1)
+    return jnp.max(jnp.where(mask, rows, 0.0))
+
+
+def pad_lcp(M, q, mask):
+    """Make padded slots inert: M_ii = 1 on the diagonal, q_i = +1."""
+    n = q.shape[0]
+    outer = mask[:, None] & mask[None, :]
+    Mp = jnp.where(outer, M, 0.0) + jnp.diag(jnp.where(mask, 0.0, 1.0).astype(M.dtype))
+    qp = jnp.where(mask, q, 1.0)
+    return Mp, qp
+
+
+def _first_min_index(v, valid):
+    """Index of the minimum of v over `valid` slots (first on ties).
+
+    The reference breaks ties randomly (`rand_min`, src/LCP.cpp:199); we take
+    the deterministic first minimum, which coincides whenever the minimum is
+    unique (the non-degenerate case).
+    """
+    big = jnp.full_like(v, jnp.inf)
+    vm = jnp.where(valid, v, big)
+    return jnp.argmin(vm)
+
+
+class _PPMState(NamedTuple):
+    nonbas: jnp.ndarray   # (n,) bool: z_i currently nonbasic-in-w sense (z active)
+    z: jnp.ndarray        # (n,) current z estimate on nonbasic set
+    done: jnp.ndarray     # () bool
+    failed: jnp.ndarray   # () bool
+    pivots: jnp.ndarray   # () int32
+
+
+def lcp_fast(M, q, mask, z0=None, zero_tol=-1.0):
+    """Principal pivoting (reference `LCP::lcp_fast`, src/LCP.cpp:41).
+
+    Args:
+      M, q: padded (n, n), (n,) problem.
+      mask: (n,) bool, active slots.
+      z0:   optional warm-start z (basis seeded from |z0| >= zero_tol).
+      zero_tol: negative -> auto (m * ||M||_inf * eps), like the reference.
+
+    Returns (z, ok).
+    """
+    n = q.shape[0]
+    dtype = M.dtype
+    M, q = pad_lcp(M, q, mask)
+    m_active = jnp.sum(mask)
+
+    auto_tol = m_active.astype(dtype) * _masked_norm_inf(M, mask) * _eps(dtype)
+    ztol = jnp.where(zero_tol < 0.0, auto_tol, zero_tol).astype(dtype)
+
+    # initial basis
+    if z0 is None:
+        minw_i = _first_min_index(q, mask)
+        trivial = q[minw_i] > -ztol
+        nonbas0 = (jnp.arange(n) == minw_i) & mask & ~trivial
+    else:
+        z0 = jnp.where(mask, z0, 0.0)
+        nonbas0 = (jnp.abs(z0) >= ztol) & mask
+        trivial = jnp.array(False)
+        # if warm basis empty, behave like the cold start
+        cold_i = _first_min_index(q, mask)
+        cold_trivial = q[cold_i] > -ztol
+        empty = ~jnp.any(nonbas0)
+        trivial = empty & cold_trivial
+        nonbas0 = jnp.where(
+            empty, (jnp.arange(n) == cold_i) & mask & ~trivial, nonbas0
+        )
+
+    max_piv = 2 * m_active
+
+    def solve_sub(nonbas):
+        """Solve M[nb,nb] z_nb = -q[nb]; returns (z, w_on_basic, ok)."""
+        outer = nonbas[:, None] & nonbas[None, :]
+        A = jnp.where(outer, M, 0.0) + jnp.diag(
+            jnp.where(nonbas, 0.0, 1.0).astype(dtype)
+        )
+        b = jnp.where(nonbas, -q, 0.0)
+        z = jnp.linalg.solve(A, b)
+        ok = jnp.all(jnp.isfinite(z))
+        z = jnp.where(nonbas, z, 0.0)
+        bas = mask & ~nonbas
+        w = jnp.where(bas, M @ z + q, 0.0)
+        return z, w, ok
+
+    def body(s: _PPMState) -> _PPMState:
+        z, w, solvable = solve_sub(s.nonbas)
+        bas = mask & ~s.nonbas
+
+        any_bas = jnp.any(bas)
+        minw_i = _first_min_index(w, bas)
+        minw = jnp.where(any_bas, w[minw_i], jnp.inf)
+
+        any_nb = jnp.any(s.nonbas)
+        minz_i = _first_min_index(z, s.nonbas)
+        minz = jnp.where(any_nb, z[minz_i], jnp.inf)
+
+        w_ok = ~any_bas | (minw > -ztol)
+        z_neg = any_nb & (minz < -ztol)
+
+        # case 1: w >= 0 everywhere
+        #   z >= 0 too -> solved;  else move most-negative z out of nonbasic
+        # case 2: some w < 0 -> move that index into nonbasic;
+        #   and if some z < 0, move that index out of nonbasic
+        move_out = jnp.zeros_like(s.nonbas)
+        move_in = jnp.zeros_like(s.nonbas)
+
+        move_out = move_out.at[minz_i].set(z_neg)
+        move_in = move_in.at[minw_i].set(~w_ok & any_bas)
+
+        solved = w_ok & ~z_neg
+        nonbas_next = (s.nonbas | move_in) & ~move_out
+
+        return _PPMState(
+            nonbas=jnp.where(solved | ~solvable, s.nonbas, nonbas_next),
+            z=jnp.where(solvable, z, s.z),
+            done=solved & solvable,
+            failed=~solvable,
+            pivots=s.pivots + 1,
+        )
+
+    def cond(s: _PPMState):
+        return ~s.done & ~s.failed & (s.pivots < max_piv)
+
+    init = _PPMState(
+        nonbas=nonbas0,
+        z=jnp.zeros(n, dtype),
+        done=trivial,
+        failed=jnp.array(False),
+        pivots=jnp.array(0, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    z = jnp.where(mask & ~trivial, out.z, 0.0)
+    ok = out.done | trivial
+    return z, ok
+
+
+def _verify(M, q, z, mask, check_tol):
+    """Solution verification used by the regularized wrappers
+    (reference src/LCP.cpp:239-260)."""
+    zm = jnp.where(mask, z, 0.0)
+    w = jnp.where(mask, M @ zm + q, 0.0)
+    z_ok = jnp.all(jnp.where(mask, zm, 0.0) >= -check_tol)
+    w_ok = jnp.all(w >= -check_tol)
+    zw = zm * w
+    c_ok = jnp.all(zw >= -check_tol) & jnp.all(jnp.where(mask, zw, 0.0) < check_tol)
+    return z_ok & w_ok & c_ok
+
+
+def lcp_fast_regularized(
+    M, q, mask, z0=None, min_exp=-20, step_exp=4, max_exp=20, zero_tol=-1.0
+):
+    """Tikhonov-sweep wrapper around :func:`lcp_fast`
+    (reference src/LCP.cpp:212-353).
+
+    Tries λ = 0, then λ = 10^k for k = min_exp, min_exp+step_exp, ... while
+    k < max_exp, accepting the first verified solution.
+    """
+    n = q.shape[0]
+    dtype = M.dtype
+    M, q = pad_lcp(M, q, mask)
+    m_active = jnp.sum(mask).astype(dtype)
+    near_zero = float(np.sqrt(_eps(dtype)))
+    check_tol = jnp.where(
+        zero_tol > 0.0, zero_tol, m_active * _masked_norm_inf(M, mask) * near_zero
+    ).astype(dtype)
+
+    exps = [None] + list(range(min_exp, max_exp, step_exp))  # None = λ=0
+    lambdas = jnp.array([0.0 if e is None else 10.0 ** e for e in exps], dtype)
+    n_attempts = len(exps)
+
+    def attempt(k):
+        lam = lambdas[k]
+        Mreg = M + lam * jnp.eye(n, dtype=dtype) * mask.astype(dtype)
+        z, ok = lcp_fast(Mreg, q, mask, z0=z0, zero_tol=zero_tol)
+        good = ok & _verify(Mreg, q, z, mask, check_tol)
+        return z, good
+
+    def cond(carry):
+        k, z, good = carry
+        return (~good) & (k < n_attempts)
+
+    def body(carry):
+        k, z, good = carry
+        z2, good2 = attempt(k)
+        return k + 1, jnp.where(good2, z2, z), good2
+
+    _, z, good = jax.lax.while_loop(
+        cond, body, (jnp.array(0), jnp.zeros(n, dtype), jnp.array(False))
+    )
+    return z, good
+
+
+class _LemkeState(NamedTuple):
+    basvar: jnp.ndarray   # (n,) int32: variable id basic in each row slot
+    Bl: jnp.ndarray       # (n, n) basis matrix
+    x: jnp.ndarray        # (n,) basic values
+    leaving: jnp.ndarray  # () int32: variable that just left
+    done: jnp.ndarray
+    failed: jnp.ndarray
+    pivots: jnp.ndarray
+
+
+def lcp_lemke(M, q, mask, piv_tol=-1.0, zero_tol=-1.0):
+    """Lemke's algorithm (reference src/LCP.cpp:545-1003), cold-started.
+
+    Variable ids: 0..n-1 -> z_i, n..2n-1 -> w_i, 2n -> artificial t.
+    The artificial column is a covering vector with 1s on the initially
+    negative components of q (reference src/LCP.cpp:779-790).
+    """
+    n = q.shape[0]
+    dtype = M.dtype
+    M, q = pad_lcp(M, q, mask)
+    m_active = jnp.sum(mask)
+    t_var = 2 * n
+
+    norminf = _masked_norm_inf(M, mask)
+    ztol = jnp.where(
+        zero_tol > 0.0, zero_tol, _eps(dtype) * norminf * m_active.astype(dtype)
+    ).astype(dtype)
+    ptol = jnp.where(
+        piv_tol > 0.0,
+        piv_tol,
+        _eps(dtype) * m_active.astype(dtype) * jnp.maximum(1.0, norminf),
+    ).astype(dtype)
+
+    trivial = jnp.min(jnp.where(mask, q, jnp.inf)) > -ztol
+
+    maxiter = jnp.minimum(1000, 50 * m_active)
+
+    # initial: basis = all w vars, Bl = -I, x = q
+    arange = jnp.arange(n)
+    basvar0 = (arange + n).astype(jnp.int32)
+    Bl0 = -jnp.eye(n, dtype=dtype)
+    x0 = q
+
+    # first pivot: artificial variable enters, most-negative x leaves
+    lv0 = _first_min_index(x0, mask)
+    tval = -x0[lv0]
+    u = jnp.where((x0 < 0.0) & mask, 1.0, 0.0).astype(dtype)
+    Be0 = -(Bl0 @ u)
+    x1 = x0 + u * tval
+    x1 = x1.at[lv0].set(tval)
+    Bl1 = Bl0.at[:, lv0].set(Be0)
+    leaving0 = basvar0[lv0]
+    basvar1 = basvar0.at[lv0].set(t_var)
+
+    def body(s: _LemkeState) -> _LemkeState:
+        # entering variable = complement of the leaving one
+        lz = s.leaving < n  # a z var left -> w_leaving enters with column -e
+        entering = jnp.where(lz, n + s.leaving, s.leaving - n).astype(jnp.int32)
+        Be = jnp.where(
+            lz,
+            -(arange == s.leaving).astype(dtype),
+            M[:, jnp.clip(s.leaving - n, 0, n - 1)],
+        )
+        d = jnp.linalg.solve(s.Bl, Be)
+        solvable = jnp.all(jnp.isfinite(d))
+
+        j = d > ptol
+        ray = ~jnp.any(j)
+
+        # min-ratio test with the reference's tolerance shift
+        ratio_sel = jnp.where(j, (s.x + ztol) / d, jnp.inf)
+        theta = jnp.min(ratio_sel)
+        cand = j & (jnp.where(j, s.x / d, jnp.inf) <= theta)
+
+        # prefer the artificial variable if it can leave
+        art_cand = cand & (s.basvar == t_var)
+        any_art = jnp.any(art_cand)
+        lv_art = jnp.argmax(art_cand)
+        lv_first = jnp.argmax(cand)  # first candidate index
+        lv = jnp.where(any_art, lv_art, lv_first).astype(jnp.int32)
+
+        ratio = s.x[lv] / d[lv]
+        x_new = s.x - d * ratio
+        x_new = x_new.at[lv].set(ratio)
+        Bl_new = s.Bl.at[:, lv].set(Be)
+        new_leaving = s.basvar[lv]
+        basvar_new = s.basvar.at[lv].set(entering)
+
+        fail = ray | ~solvable
+        done = new_leaving == t_var
+        return _LemkeState(
+            basvar=jnp.where(fail, s.basvar, basvar_new),
+            Bl=jnp.where(fail, s.Bl, Bl_new),
+            x=jnp.where(fail, s.x, x_new),
+            leaving=jnp.where(fail, s.leaving, new_leaving).astype(jnp.int32),
+            done=done & ~fail,
+            failed=fail,
+            pivots=s.pivots + 1,
+        )
+
+    def cond(s: _LemkeState):
+        return ~s.done & ~s.failed & (s.pivots < maxiter)
+
+    init = _LemkeState(
+        basvar=basvar1,
+        Bl=Bl1,
+        x=x1,
+        leaving=leaving0.astype(jnp.int32),
+        done=jnp.array(False),
+        failed=jnp.array(False),
+        pivots=jnp.array(0, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+
+    # scatter basic values into z (variable ids < n are z vars)
+    is_z = out.basvar < n
+    z = jnp.zeros(n, dtype).at[jnp.where(is_z, out.basvar, n - 1)].add(
+        jnp.where(is_z, out.x, 0.0)
+    )
+    z = jnp.where(mask & ~trivial, z, 0.0)
+    ok = trivial | (out.done & ~out.failed)
+    return z, ok
+
+
+def lcp_lemke_regularized(
+    M, q, mask, min_exp=-20, step_exp=1, max_exp=1, piv_tol=-1.0, zero_tol=-1.0
+):
+    """Tikhonov-sweep wrapper around :func:`lcp_lemke`
+    (reference src/LCP.cpp:353-487)."""
+    n = q.shape[0]
+    dtype = M.dtype
+    M, q = pad_lcp(M, q, mask)
+    m_active = jnp.sum(mask).astype(dtype)
+    near_zero = float(np.sqrt(_eps(dtype)))
+    check_tol = jnp.where(
+        zero_tol > 0.0, zero_tol, m_active * _masked_norm_inf(M, mask) * near_zero
+    ).astype(dtype)
+
+    exps = [None] + list(range(min_exp, max_exp, step_exp))
+    lambdas = jnp.array([0.0 if e is None else 10.0 ** e for e in exps], dtype)
+    n_attempts = len(exps)
+
+    def cond(carry):
+        k, z, good = carry
+        return (~good) & (k < n_attempts)
+
+    def body(carry):
+        k, z, good = carry
+        lam = lambdas[k]
+        Mreg = M + lam * jnp.eye(n, dtype=dtype) * mask.astype(dtype)
+        z2, ok = lcp_lemke(Mreg, q, mask, piv_tol=piv_tol, zero_tol=zero_tol)
+        good2 = ok & _verify(Mreg, q, z2, mask, check_tol)
+        return k + 1, jnp.where(good2, z2, z), good2
+
+    _, z, good = jax.lax.while_loop(
+        cond, body, (jnp.array(0), jnp.zeros(n, dtype), jnp.array(False))
+    )
+    return z, good
+
+
+def solve_lcp(M, q, mask, z0=None):
+    """Production path mirroring the impact handler's solver cascade
+    (reference src/ImpactConstraintHandlerQP.cpp:219-226):
+    `lcp_fast_regularized(-20, 4, -8)` then `lcp_lemke_regularized` fallback.
+    """
+    z, ok = lcp_fast_regularized(
+        M, q, mask, z0=z0, min_exp=-20, step_exp=4, max_exp=-8
+    )
+    z2, ok2 = lcp_lemke_regularized(M, q, mask)
+    z = jnp.where(ok, z, z2)
+    return z, ok | ok2

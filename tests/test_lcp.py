@@ -1,0 +1,152 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moby_tpu.solvers import lcp
+
+
+def random_monotone_lcp(n, seed, semidefinite=False):
+    r = np.random.default_rng(seed)
+    A = r.normal(size=(n, n))
+    M = A @ A.T
+    if not semidefinite:
+        M += np.eye(n) * 0.5
+    q = r.normal(size=n)
+    return jnp.array(M), jnp.array(q)
+
+
+def check_solution(M, q, z, tol=1e-7):
+    z = np.asarray(z)
+    w = np.asarray(M) @ z + np.asarray(q)
+    assert z.min() >= -tol, f"z has negative components: {z.min()}"
+    assert w.min() >= -tol, f"w has negative components: {w.min()}"
+    assert abs(z @ w) <= tol * max(1.0, np.abs(w).max()) * len(q), f"z'w = {z @ w}"
+
+
+class TestLcpFast:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_spd(self, seed):
+        n = 8
+        M, q = random_monotone_lcp(n, seed)
+        mask = jnp.ones(n, bool)
+        z, ok = lcp.lcp_fast(M, q, mask)
+        assert bool(ok)
+        check_solution(M, q, z)
+
+    def test_trivial(self):
+        n = 4
+        M = jnp.eye(n)
+        q = jnp.ones(n)
+        z, ok = lcp.lcp_fast(M, q, jnp.ones(n, bool))
+        assert bool(ok)
+        np.testing.assert_allclose(z, 0.0)
+
+    def test_padded_matches_unpadded(self):
+        n, npad = 6, 10
+        M, q = random_monotone_lcp(n, 42)
+        z_ref, ok = lcp.lcp_fast(M, q, jnp.ones(n, bool))
+        assert bool(ok)
+        Mp = jnp.zeros((npad, npad)).at[:n, :n].set(M)
+        qp = jnp.zeros(npad).at[:n].set(q)
+        mask = jnp.arange(npad) < n
+        z_pad, ok2 = lcp.lcp_fast(Mp, qp, mask)
+        assert bool(ok2)
+        np.testing.assert_allclose(np.asarray(z_pad)[:n], z_ref, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(z_pad)[n:], 0.0)
+
+    def test_warm_start(self):
+        n = 8
+        M, q = random_monotone_lcp(n, 7)
+        mask = jnp.ones(n, bool)
+        z1, ok = lcp.lcp_fast(M, q, mask)
+        assert bool(ok)
+        z2, ok2 = lcp.lcp_fast(M, q, mask, z0=z1)
+        assert bool(ok2)
+        np.testing.assert_allclose(z1, z2, atol=1e-9)
+
+    def test_vmap(self):
+        n, b = 6, 16
+        Ms, qs = [], []
+        for s in range(b):
+            M, q = random_monotone_lcp(n, 100 + s)
+            Ms.append(M)
+            qs.append(q)
+        Ms = jnp.stack(Ms)
+        qs = jnp.stack(qs)
+        masks = jnp.ones((b, n), bool)
+        zs, oks = jax.vmap(lcp.lcp_fast, in_axes=(0, 0, 0))(Ms, qs, masks)
+        assert bool(jnp.all(oks))
+        for i in range(b):
+            check_solution(Ms[i], qs[i], zs[i])
+
+
+class TestLemke:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_spd(self, seed):
+        n = 8
+        M, q = random_monotone_lcp(n, seed)
+        mask = jnp.ones(n, bool)
+        z, ok = lcp.lcp_lemke(M, q, mask)
+        assert bool(ok)
+        check_solution(M, q, z)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_semidefinite(self, seed):
+        # PSD (rank-deficient) problems: Lemke with regularization
+        n = 8
+        M, q = random_monotone_lcp(n, 50 + seed, semidefinite=True)
+        mask = jnp.ones(n, bool)
+        z, ok = lcp.lcp_lemke_regularized(M, q, mask)
+        assert bool(ok)
+        check_solution(M, q, z, tol=1e-5)
+
+    def test_padded(self):
+        n, npad = 5, 9
+        M, q = random_monotone_lcp(n, 3)
+        z_ref, ok = lcp.lcp_lemke(M, q, jnp.ones(n, bool))
+        assert bool(ok)
+        Mp = jnp.zeros((npad, npad)).at[:n, :n].set(M)
+        qp = jnp.zeros(npad).at[:n].set(q)
+        mask = jnp.arange(npad) < n
+        z_pad, ok2 = lcp.lcp_lemke(Mp, qp, mask)
+        assert bool(ok2)
+        np.testing.assert_allclose(np.asarray(z_pad)[:n], z_ref, atol=1e-10)
+
+    def test_agrees_with_fast(self):
+        # strictly monotone LCP has a unique solution; both must find it
+        for seed in range(6):
+            n = 7
+            M, q = random_monotone_lcp(n, 200 + seed)
+            mask = jnp.ones(n, bool)
+            z1, ok1 = lcp.lcp_fast(M, q, mask)
+            z2, ok2 = lcp.lcp_lemke(M, q, mask)
+            assert bool(ok1) and bool(ok2)
+            np.testing.assert_allclose(z1, z2, atol=1e-7)
+
+
+class TestCascade:
+    def test_solve_lcp(self):
+        n = 10
+        M, q = random_monotone_lcp(n, 11)
+        z, ok = lcp.solve_lcp(M, q, jnp.ones(n, bool))
+        assert bool(ok)
+        check_solution(M, q, z)
+
+    def test_contact_like_problem(self):
+        # 3-sphere stack normal-impulse LCP: tri-diagonal-ish Delassus operator
+        # masses 1, unit normals, gravity impulse dt*g
+        A = jnp.array(
+            [
+                [2.0, -1.0, 0.0],
+                [-1.0, 2.0, -1.0],
+                [0.0, -1.0, 2.0],
+            ]
+        )
+        v = jnp.array([-9.81e-3, 0.0, 0.0])  # only bottom contact approaching
+        z, ok = lcp.solve_lcp(A, v, jnp.ones(3, bool))
+        assert bool(ok)
+        check_solution(A, v, z)
+        # the stack: bottom contact must push with all the weight support
+        w = A @ z + v
+        np.testing.assert_allclose(np.asarray(w), np.maximum(np.asarray(w), 0), atol=1e-9)
