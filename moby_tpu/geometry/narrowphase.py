@@ -1,0 +1,324 @@
+"""Vectorized narrow-phase collision kernels.
+
+The reference dispatches per primitive-type pair through a virtual double-
+dispatch table (include/Moby/CCD.inl:3-81) one pair at a time; here each
+*kind* of pair is processed as one vectorized kernel over all pairs of that
+kind (static host-side grouping), producing
+
+* pairwise signed distances + closest points (for conservative advancement;
+  reference `CCD::calc_signed_dist`), and
+* contact slots (point, normal, depth, active) mirroring each
+  `CCD::find_contacts_*` specialization's conventions: which geometry is
+  `contact_geom1`, where the contact point sits, which way the normal points.
+
+All outputs are fixed-shape (K contact slots) with boolean activity masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import scene as sc
+from ..math import quaternion as quat
+from ..math.so3 import orthonormal_basis
+
+
+class PairDist(NamedTuple):
+    dist: jnp.ndarray  # (NP,)
+    pa: jnp.ndarray    # (NP, 3) closest point on geometry A (world)
+    pb: jnp.ndarray    # (NP, 3) closest point on geometry B (world)
+
+
+class Contacts(NamedTuple):
+    active: jnp.ndarray  # (K,) bool
+    point: jnp.ndarray   # (K, 3)
+    normal: jnp.ndarray  # (K, 3) points from geom2's body toward geom1's body
+    depth: jnp.ndarray   # (K,) signed distance at creation
+    tan1: jnp.ndarray    # (K, 3)
+    tan2: jnp.ndarray    # (K, 3)
+
+
+def geom_world_pose(scene: sc.Scene, pos, quat_b, gidx):
+    """World pose of geometry slots gidx: body pose ∘ local pose."""
+    b = scene.geom_body[gidx]
+    bp = pos[b]
+    bq = quat_b[b]
+    gp = bp + quat.rotate(bq, scene.geom_pos[gidx])
+    gq = quat.mul(bq, scene.geom_quat[gidx])
+    return gp, gq
+
+
+def _sphere_sphere(scene, pos, quat_b, pairs):
+    ga = scene.pair_g1[pairs]
+    gb = scene.pair_g2[pairs]
+    ca, _ = geom_world_pose(scene, pos, quat_b, ga)
+    cb, _ = geom_world_pose(scene, pos, quat_b, gb)
+    ra = scene.geom_params[ga, 0]
+    rb = scene.geom_params[gb, 0]
+    d = ca - cb
+    dn = jnp.linalg.norm(d, axis=-1)
+    dist = dn - ra - rb
+    n = d / jnp.maximum(dn, 1e-30)[..., None]
+    pa = ca - n * ra[..., None]
+    pb = cb + n * rb[..., None]
+    point = 0.5 * (pa + pb)
+    return dist, pa, pb, point[:, None, :], n[:, None, :], dist[:, None]
+
+
+def _sphere_plane(scene, pos, quat_b, pairs):
+    ga = scene.pair_g1[pairs]   # sphere
+    gb = scene.pair_g2[pairs]   # plane
+    ca, _ = geom_world_pose(scene, pos, quat_b, ga)
+    pp, pq = geom_world_pose(scene, pos, quat_b, gb)
+    r = scene.geom_params[ga, 0]
+    up = quat.rotate(pq, jnp.array([0.0, 1.0, 0.0], dtype=pos.dtype))
+    y = jnp.sum((ca - pp) * up, axis=-1)
+    dist = y - r
+    # contact point: midway between sphere bottom and the plane surface
+    # (reference CCD.inl find_contacts_sphere_plane: y = (y_c - r)/2)
+    point = ca - up * ((y + r) / 2)[..., None]
+    pa = ca - up * r[..., None]       # lowest point of sphere
+    pb = ca - up * y[..., None]       # projection on plane
+    n = up
+    return dist, pa, pb, point[:, None, :], n[:, None, :], dist[:, None]
+
+
+def _box_sphere(scene, pos, quat_b, pairs):
+    ga = scene.pair_g1[pairs]   # box
+    gb = scene.pair_g2[pairs]   # sphere
+    bp, bq = geom_world_pose(scene, pos, quat_b, ga)
+    cs, _ = geom_world_pose(scene, pos, quat_b, gb)
+    half = scene.geom_params[ga, :3]
+    r = scene.geom_params[gb, 0]
+    # sphere center in box frame
+    cl = quat.inverse_rotate(bq, cs - bp)
+    clamped = jnp.clip(cl, -half, half)
+    dvec = cl - clamped
+    dn = jnp.linalg.norm(dvec, axis=-1)
+    outside = dn > 1e-12
+    # center inside the box: distance to the nearest face (negative)
+    face_d = half - jnp.abs(cl)  # (P,3) >= 0 when inside
+    min_face = jnp.min(face_d, axis=-1)
+    dist = jnp.where(outside, dn - r, -(min_face) - r)
+    # closest point on box (world)
+    pbox = bp + quat.rotate(bq, clamped)
+    dirn = dvec / jnp.maximum(dn, 1e-30)[..., None]
+    dir_world = quat.rotate(bq, dirn)
+    psph = cs - dir_world * r[..., None]
+    sep = dist > 0
+    point = jnp.where(sep[..., None], 0.5 * (psph + pbox), psph)
+    # normal: from sphere(B) toward box(A) (reference find_contacts_box_sphere)
+    n_sep = pbox - psph
+    n_sep = n_sep / jnp.maximum(jnp.linalg.norm(n_sep, axis=-1, keepdims=True), 1e-30)
+    # overlapping: use direction from box center to sphere center (fallback)
+    n_pen = -dir_world
+    n = jnp.where(sep[..., None], n_sep, n_pen)
+    return dist, pbox, psph, point[:, None, :], n[:, None, :], dist[:, None]
+
+
+def _plane_generic(scene, pos, quat_b, pairs, nslots):
+    """A = plane, B = solid with vertices; one slot per vertex of B
+    (reference CCD.inl find_contacts_plane_generic: contacts at B's vertices
+    with normal = -plane_up, geom1 = plane)."""
+    ga = scene.pair_g1[pairs]   # plane
+    gb = scene.pair_g2[pairs]   # vertex solid
+    pp, pq = geom_world_pose(scene, pos, quat_b, ga)
+    sp, sq = geom_world_pose(scene, pos, quat_b, gb)
+    up = quat.rotate(pq, jnp.array([0.0, 1.0, 0.0], dtype=pos.dtype))
+    verts = scene.geom_verts[gb][:, :nslots]          # (P, nslots, 3) local
+    nv = scene.geom_nverts[gb]                        # (P,)
+    vw = sp[:, None, :] + quat.rotate(sq[:, None, :], verts)  # world verts
+    y = jnp.sum((vw - pp[:, None, :]) * up[:, None, :], axis=-1)  # (P, nslots)
+    valid = jnp.arange(nslots)[None, :] < nv[:, None]
+    yv = jnp.where(valid, y, jnp.inf)
+    dist = jnp.min(yv, axis=-1)
+    # closest points: the lowest vertex and its projection on the plane
+    imin = jnp.argmin(yv, axis=-1)
+    vmin = jnp.take_along_axis(vw, imin[:, None, None], axis=1)[:, 0, :]
+    pbv = vmin
+    pav = vmin - up * jnp.take_along_axis(y, imin[:, None], axis=1)
+    # per-vertex contact slots: normal = -up (geom1 = plane)
+    n = jnp.broadcast_to(-up[:, None, :], vw.shape)
+    sdist = jnp.where(valid, y, jnp.inf)
+    return dist, pav, pbv, vw, n, sdist
+
+
+def _cylinder_plane(scene, pos, quat_b, pairs):
+    """A = cylinder (axis = local Y), B = plane; up to 4 contacts
+    (reference CCD.inl find_contacts_cylinder_plane)."""
+    ga = scene.pair_g1[pairs]
+    gb = scene.pair_g2[pairs]
+    cp_, cq = geom_world_pose(scene, pos, quat_b, ga)
+    pp, pq = geom_world_pose(scene, pos, quat_b, gb)
+    R = scene.geom_params[ga, 0]
+    H = scene.geom_params[ga, 1]
+    dtype = pos.dtype
+    up = quat.rotate(pq, jnp.array([0.0, 1.0, 0.0], dtype=dtype))
+    axis = quat.rotate(cq, jnp.array([0.0, 1.0, 0.0], dtype=dtype))
+    n_dot = jnp.sum(up * axis, axis=-1)
+    axial = jnp.where(n_dot[..., None] > 0, -axis, axis)  # pointing toward plane
+
+    perp = jnp.abs(n_dot) > 1.0 - 1e-8   # axis ⟂ plane (endcap rests)
+    par = jnp.abs(n_dot) < 1e-8          # axis ∥ plane (side rests)
+
+    # endcap case: 4 rim points around the low cap
+    x_cap = cp_ + axial * (H / 2)[..., None]
+    t1, t2 = orthonormal_basis(up)
+    angles = jnp.arange(4) * (jnp.pi / 2)
+    rim = (
+        x_cap[:, None, :]
+        + R[:, None, None] * jnp.cos(angles)[None, :, None] * t1[:, None, :]
+        + R[:, None, None] * jnp.sin(angles)[None, :, None] * t2[:, None, :]
+    )
+    d_cap = jnp.sum((x_cap - pp) * up, axis=-1)
+
+    # side case: 2 endpoints of the lowest line
+    x_side = cp_ - up * R[..., None]
+    e1 = x_side + axial * (H / 2)[..., None]
+    e2 = x_side - axial * (H / 2)[..., None]
+    d_side = jnp.sum((x_side - pp) * up, axis=-1)
+
+    # edge case: single lowest rim point
+    radial = jnp.cross(axial, jnp.cross(axial, up))
+    radial = radial / jnp.maximum(jnp.linalg.norm(radial, axis=-1, keepdims=True), 1e-30)
+    x_edge = cp_ + axial * (H / 2)[..., None] + radial * R[..., None]
+    d_edge = jnp.sum((x_edge - pp) * up, axis=-1)
+
+    dist = jnp.where(perp, d_cap, jnp.where(par, d_side, d_edge))
+    pts = jnp.where(
+        perp[:, None, None],
+        rim,
+        jnp.where(
+            par[:, None, None],
+            jnp.stack([e1, e2, e1, e2], axis=1),
+            jnp.stack([x_edge] * 4, axis=1),
+        ),
+    )
+    nact = jnp.where(perp, 4, jnp.where(par, 2, 1))
+    valid = jnp.arange(4)[None, :] < nact[:, None]
+    sdist = jnp.where(valid, dist[:, None], jnp.inf)
+    n = jnp.broadcast_to(up[:, None, :], pts.shape)
+    pa = jnp.where(perp[:, None], x_cap, jnp.where(par[:, None], x_side, x_edge))
+    pb = pa - up * dist[..., None]
+    return dist, pa, pb, pts, n, sdist
+
+
+def _torus_plane(scene, pos, quat_b, pairs):
+    """A = torus (axis = local Z), B = plane; aligned case -> 4 ring points
+    (reference CCD.inl find_contacts_torus_plane), tilted -> lowest point."""
+    ga = scene.pair_g1[pairs]
+    gb = scene.pair_g2[pairs]
+    tp, tq = geom_world_pose(scene, pos, quat_b, ga)
+    pp, pq = geom_world_pose(scene, pos, quat_b, gb)
+    Rmaj = scene.geom_params[ga, 0]
+    rmin = scene.geom_params[ga, 1]
+    dtype = pos.dtype
+    up = quat.rotate(pq, jnp.array([0.0, 1.0, 0.0], dtype=dtype))
+    k = quat.rotate(tq, jnp.array([0.0, 0.0, 1.0], dtype=dtype))
+    n_dot_k = jnp.sum(up * k, axis=-1)
+    aligned = jnp.abs(n_dot_k) > 1.0 - 100 * 1.5e-8
+
+    h = jnp.sum((tp - pp) * up, axis=-1)
+    d_aligned = h - rmin
+
+    # aligned: 4 points on the bottom circle of radius Rmaj
+    angles = jnp.arange(4).astype(dtype) / 4 * (2 * jnp.pi) - jnp.pi
+    ex = quat.rotate(tq, jnp.array([1.0, 0.0, 0.0], dtype=dtype))
+    ey = quat.rotate(tq, jnp.array([0.0, 1.0, 0.0], dtype=dtype))
+    ring = (
+        tp[:, None, :]
+        + Rmaj[:, None, None] * jnp.cos(angles)[None, :, None] * ex[:, None, :]
+        + Rmaj[:, None, None] * jnp.sin(angles)[None, :, None] * ey[:, None, :]
+        - (rmin[:, None] * jnp.sign(n_dot_k)[:, None])[..., None] * k[:, None, :]
+    )
+
+    # tilted: lowest point of the tube center circle minus rmin along up
+    # center circle direction of steepest descent
+    kp = k - up * n_dot_k[..., None]
+    kpn = jnp.linalg.norm(kp, axis=-1, keepdims=True)
+    # radial direction in torus plane pointing most downward
+    rdir = jnp.cross(k, jnp.cross(k, up))
+    rdir = rdir / jnp.maximum(jnp.linalg.norm(rdir, axis=-1, keepdims=True), 1e-30)
+    plow = tp + Rmaj[..., None] * rdir - rmin[..., None] * up
+    d_tilt = jnp.sum((plow - pp) * up, axis=-1)
+
+    dist = jnp.where(aligned, d_aligned, d_tilt)
+    pts = jnp.where(aligned[:, None, None], ring, jnp.stack([plow] * 4, axis=1))
+    nact = jnp.where(aligned, 4, 1)
+    valid = jnp.arange(4)[None, :] < nact[:, None]
+    sdist = jnp.where(valid, dist[:, None], jnp.inf)
+    n = jnp.broadcast_to(up[:, None, :], pts.shape)
+    pa = jnp.where(aligned[:, None], tp - up * (h - d_aligned)[..., None], plow)
+    pb = pa - up * dist[..., None]
+    return dist, pa, pb, pts, n, sdist
+
+
+_KERNELS = {
+    sc.K_SPHERE_SPHERE: _sphere_sphere,
+    sc.K_SPHERE_PLANE: _sphere_plane,
+    sc.K_BOX_SPHERE: _box_sphere,
+    sc.K_CYLINDER_PLANE: _cylinder_plane,
+    sc.K_TORUS_PLANE: _torus_plane,
+}
+
+
+def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
+    """Compute pairwise distances and contact slots at the given configuration.
+
+    Returns (PairDist, Contacts). A contact slot is active when its own signed
+    distance <= tol AND the owning pair's distance < tol (reference:
+    ConstraintSimulator::find_unilateral_constraints, src:488-537, combined
+    with each find_contacts_* kernel's own `dist > TOL` cull).
+    """
+    NP_ = scene.n_pairs
+    K = scene.n_contacts
+    dtype = pos.dtype
+
+    dist = jnp.zeros(NP_, dtype)
+    pa = jnp.zeros((NP_, 3), dtype)
+    pb = jnp.zeros((NP_, 3), dtype)
+    cpoint = jnp.zeros((K, 3), dtype)
+    cnormal = jnp.zeros((K, 3), dtype)
+    csdist = jnp.full(K, jnp.inf, dtype)
+
+    for kind, grp in scene.kind_groups.items():
+        pairs = grp["pairs"]
+        slots = grp["slots"]
+        if len(pairs) == 0:
+            continue
+        if kind == sc.K_PLANE_GENERIC:
+            d, a, b, pts, nrm, sd = _plane_generic(
+                scene, pos, quat_b, pairs, grp["nslots"]
+            )
+        else:
+            d, a, b, pts, nrm, sd = _KERNELS[kind](scene, pos, quat_b, pairs)
+        dist = dist.at[pairs].set(d)
+        pa = pa.at[pairs].set(a)
+        pb = pb.at[pairs].set(b)
+        cpoint = cpoint.at[slots].set(pts.reshape(-1, 3))
+        cnormal = cnormal.at[slots].set(nrm.reshape(-1, 3))
+        csdist = csdist.at[slots].set(sd.reshape(-1))
+
+    pair_dist_of_slot = dist[scene.slot_pair]
+    active = (csdist <= tol) & (pair_dist_of_slot < tol)
+    t1, t2 = orthonormal_basis(cnormal)
+    return (
+        PairDist(dist=dist, pa=pa, pb=pb),
+        Contacts(
+            active=active,
+            point=cpoint,
+            normal=cnormal,
+            depth=jnp.where(jnp.isfinite(csdist), csdist, 0.0),
+            tan1=t1,
+            tan2=t2,
+        ),
+    )
+
+
+def pair_distances(scene: sc.Scene, pos, quat_b) -> PairDist:
+    """Distances + closest points only (CA loop hot path)."""
+    pd, _ = narrow_phase(scene, pos, quat_b, jnp.inf)
+    return pd
