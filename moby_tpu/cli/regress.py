@@ -1,0 +1,89 @@
+"""`moby-regress` equivalent: run a scene, dump per-step Euler coordinates.
+
+Output format mirrors programs/regress.cpp: one line per step
+`t q0 q1 ...` with bodies sorted alphabetically by id (disabled bodies have
+no generalized coordinates and are omitted), first line at t=0, last line is
+the wall-clock seconds of the run.
+
+Usage: python -m moby_tpu.cli.regress [-s=H] [-mt=T] [-mi=N] [--cpu] scene.xml out.dat
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    step_size = None
+    max_time = float("inf")
+    max_iter = float("inf")
+    use_cpu = False
+    pos_args = []
+    for a in argv:
+        if a.startswith("-s="):
+            step_size = float(a[3:])
+        elif a.startswith("-mt="):
+            max_time = float(a[4:])
+        elif a.startswith("-mi="):
+            max_iter = int(a[4:])
+        elif a == "--cpu":
+            use_cpu = True
+        elif a.startswith("-"):
+            pass  # ignore unsupported flags (plugins, logging, ...)
+        else:
+            pos_args.append(a)
+    if len(pos_args) < 1:
+        print(__doc__)
+        return 1
+    xml_path = pos_args[0]
+    out_path = pos_args[1] if len(pos_args) > 1 else "regress.out"
+
+    if use_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    import jax
+    import numpy as np
+
+    from ..io import mobyxml
+    from ..sim import stepper
+
+    scene, st, opts = mobyxml.load(xml_path)
+    dt = step_size if step_size is not None else opts.step_size
+
+    # bodies sorted alphabetically; only enabled bodies have coordinates
+    order = sorted(
+        (i for i in range(scene.nb) if bool(scene.enabled[i])),
+        key=lambda i: scene.body_names[i],
+    )
+
+    step_j = jax.jit(lambda s: stepper.step(scene, s, dt))
+
+    t_start = time.time()
+    with open(out_path, "w") as f:
+
+        def writeline(s):
+            vals = [float(s.time)]
+            for i in order:
+                vals.extend(np.asarray(s.pos[i]).tolist())
+                vals.extend(np.asarray(s.quat[i]).tolist())
+            f.write(" ".join(f"{v:g}" for v in vals) + "\n")
+
+        it = 0
+        writeline(st)
+        while it < max_iter and float(st.time) <= max_time:
+            st = step_j(st)
+            it += 1
+            if float(st.time) > max_time or it >= max_iter:
+                break
+            writeline(st)
+        f.write(f"{time.time() - t_start:g}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
