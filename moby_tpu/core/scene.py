@@ -5,31 +5,39 @@ geometries and per-pair `ContactParameters` resolved at runtime
 (`src/ConstraintSimulator.cpp:82-155`), we compile the whole scene host-side
 into a `Scene` pytree of fixed-shape arrays:
 
-* bodies -> struct-of-arrays (mass, inertia, enabled),
+* rigid bodies and articulated-body links -> "pose slots": a flat table of
+  world poses/velocities recomputed each step (free body i = slot i;
+  link l of articulated body k = slot nb + link_offset),
+* generalized coordinates -> one global gc vector: 6 per enabled free body
+  ([v; ω] spatial, the reference's eSpatial layout) followed by each
+  articulated body's nv joint velocities,
 * collision geometries -> typed parameter table with local poses folded in,
 * candidate pairs -> a static pair table grouped by narrow-phase kind
-  (the reference's double-dispatch table, `include/Moby/CCD.inl:3-81`,
+  (the reference's double-dispatch table, include/Moby/CCD.inl:3-81,
   becomes per-kind vectorized kernels),
-* contact slots -> a fixed-K layout with per-slot static contact parameters
-  (epsilon, mu, NK, compliance) resolved from ContactParameters at build time,
-* friction-cone rows -> a static (contact, cos θ, sin θ, mu) table mirroring
+* contact slots -> fixed-K layout with per-slot static contact parameters
+  (epsilon, mu, NK, compliance) resolved from ContactParameters at build,
+* joint limits -> fixed slots (2 per limited dof: upper+lower), active when
+  q crosses the limit (ArticulatedBody::find_limit_constraints),
+* friction-cone rows -> a static (contact, cos θ, sin θ) table mirroring
   `setup_QP`'s NK/2 half-plane rows (src/ImpactConstraintHandlerQP.cpp:456-479).
 
-One simulation step is then a pure jittable function of (State, Scene); a
-batch of scenarios is `vmap` over State (Scene shared) or over both.
+One simulation step is a pure jittable function of (State, Scene); a batch of
+scenarios is `vmap` over State.
 """
 
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Any, Optional
+from dataclasses import dataclass
+from typing import Any, List, Optional
 
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
 from .. import config as cfg
+from ..dynamics import model as amdl
 
 # geometry type codes
 SPHERE = 0
@@ -46,101 +54,116 @@ POLYHEDRON = 7
 K_SPHERE_SPHERE = 0   # A=sphere, B=sphere, 1 slot
 K_SPHERE_PLANE = 1    # A=sphere, B=plane, 1 slot
 K_BOX_SPHERE = 2      # A=box, B=sphere, 1 slot
-K_PLANE_GENERIC = 3   # A=plane, B=vertex-carrying solid, nverts slots
+K_PLANE_GENERIC = 3   # A=plane, B=vertex-carrying solid, vmax slots
 K_CYLINDER_PLANE = 4  # A=cylinder, B=plane, 4 slots
 K_TORUS_PLANE = 5     # A=torus, B=plane, 4 slots
 
-_KIND_NAMES = {
-    K_SPHERE_SPHERE: "sphere_sphere",
-    K_SPHERE_PLANE: "sphere_plane",
-    K_BOX_SPHERE: "box_sphere",
-    K_PLANE_GENERIC: "plane_generic",
-    K_CYLINDER_PLANE: "cylinder_plane",
-    K_TORUS_PLANE: "torus_plane",
-}
 
-
-def _kind_nslots(kind: int, nverts_b: int) -> int:
+def _kind_nslots(kind: int, vmax: int) -> int:
     if kind in (K_SPHERE_SPHERE, K_SPHERE_PLANE, K_BOX_SPHERE):
         return 1
     if kind == K_PLANE_GENERIC:
-        return nverts_b
+        return vmax
     if kind in (K_CYLINDER_PLANE, K_TORUS_PLANE):
         return 4
     raise ValueError(f"unknown kind {kind}")
+
+
+class ABEntry:
+    """Static per-articulated-body metadata (not a pytree leaf)."""
+
+    def __init__(self, name, model: amdl.ArticulatedModel, gc_off, q_off, v_off):
+        self.name = name
+        self.model = model
+        self.gc_off = gc_off  # column offset in the global gc vector
+        self.q_off = q_off    # offset into State.q_art
+        self.v_off = v_off    # offset into State.qd_art
 
 
 @struct.dataclass
 class Scene:
     """Static compiled scene. All arrays fixed-shape; `vmap`-compatible."""
 
-    # ---- bodies (nb,)
-    mass: jnp.ndarray            # (nb,)
-    inv_mass: jnp.ndarray        # (nb,) 0 for disabled/infinite
-    inertia: jnp.ndarray         # (nb, 3, 3) body-frame rotational inertia
-    inv_inertia: jnp.ndarray     # (nb, 3, 3) 0 for disabled
+    # ---- free rigid bodies (nb,)
+    mass: jnp.ndarray
+    inv_mass: jnp.ndarray        # 0 for disabled
+    inertia: jnp.ndarray         # (nb, 3, 3) body frame
+    inv_inertia: jnp.ndarray
     enabled: jnp.ndarray         # (nb,) bool
-    rmax: jnp.ndarray            # (nb,) farthest-geometry-point distance (CA bound)
+
+    # ---- pose slots (ns = nb + total links)
+    slot_enabled: jnp.ndarray    # (ns,) bool
+    slot_rmax: jnp.ndarray       # (ns,) farthest-point distance (CA bound)
 
     # ---- geometries (ng,)
-    geom_body: jnp.ndarray       # (ng,) int32
-    geom_pos: jnp.ndarray        # (ng, 3) local position in body frame
+    geom_slot: jnp.ndarray       # (ng,) int32 pose slot
+    geom_pos: jnp.ndarray        # (ng, 3) local position in slot frame
     geom_quat: jnp.ndarray       # (ng, 4) local orientation (xyzw)
     geom_params: jnp.ndarray     # (ng, 4)
 
     # ---- candidate pairs (np_,)
-    pair_g1: jnp.ndarray         # (np_,) int32 geometry A
-    pair_g2: jnp.ndarray         # (np_,) int32 geometry B
-    pair_kind: jnp.ndarray       # (np_,) int32
-    pair_slot0: jnp.ndarray      # (np_,) int32 first contact slot of this pair
-    pair_nslots: jnp.ndarray     # (np_,) int32
+    pair_g1: jnp.ndarray
+    pair_g2: jnp.ndarray
+    pair_kind: jnp.ndarray
+    pair_slot0: jnp.ndarray
+    pair_nslots: jnp.ndarray
 
     # ---- contact slots (K,)
-    slot_pair: jnp.ndarray       # (K,) int32 owning pair
-    slot_b1: jnp.ndarray         # (K,) int32 body of geom1 (Moby's contact_geom1)
-    slot_b2: jnp.ndarray         # (K,) int32 body of geom2
-    slot_eps: jnp.ndarray        # (K,) restitution
-    slot_mu_c: jnp.ndarray       # (K,) Coulomb friction
-    slot_mu_v: jnp.ndarray       # (K,) viscous friction
-    slot_compliance: jnp.ndarray  # (K,)
+    slot_pair: jnp.ndarray       # (K,) owning pair
+    slot_s1: jnp.ndarray         # (K,) pose slot of geom1 (Moby's contact_geom1)
+    slot_s2: jnp.ndarray         # (K,) pose slot of geom2
+    slot_eps: jnp.ndarray
+    slot_mu_c: jnp.ndarray
+    slot_mu_v: jnp.ndarray
+    slot_compliance: jnp.ndarray
+
+    # ---- joint-limit slots (NL,)
+    lim_gc_col: jnp.ndarray      # (NL,) int32 gc column of the limited dof
+    lim_q_idx: jnp.ndarray       # (NL,) int32 index into q_art of the dof
+    lim_upper: jnp.ndarray       # (NL,) bool
+    lim_value: jnp.ndarray       # (NL,) limit position
+    lim_eps: jnp.ndarray         # (NL,) limit restitution
 
     # ---- friction-cone rows (NF,)
-    fr_con: jnp.ndarray          # (NF,) int32 contact slot of this row
-    fr_cos: jnp.ndarray          # (NF,)
-    fr_sin: jnp.ndarray          # (NF,)
+    fr_con: jnp.ndarray
+    fr_cos: jnp.ndarray
+    fr_sin: jnp.ndarray
 
-    # ---- vertex table for plane_generic contacts / CA bounds
-    # per-geometry local-frame vertices, zero-padded
+    # ---- vertex table (plane_generic contacts / CA bounds)
     geom_verts: jnp.ndarray      # (ng, VMAX, 3)
-    geom_nverts: jnp.ndarray     # (ng,) int32
+    geom_nverts: jnp.ndarray     # (ng,)
 
-    # ---- forces / solver config (dynamic so they can be vmapped/differentiated)
-    gravity: jnp.ndarray         # (3,)
-    contact_dist_thresh: jnp.ndarray  # () default 1e-6 (ConstraintSimulator.cpp:56)
-    min_step_size: jnp.ndarray   # () default NEAR_ZERO (TimeSteppingSimulator.cpp:47)
-    dissipation_lambda: jnp.ndarray  # (nb,) per-body velocity decay (1.0 = off)
+    # ---- forces / solver config
+    gravity: jnp.ndarray
+    contact_dist_thresh: jnp.ndarray
+    min_step_size: jnp.ndarray
+    dissipation_lambda: jnp.ndarray  # (nb,)
 
     # ---- static metadata
     nb: int = struct.field(pytree_node=False, default=0)
     ng: int = struct.field(pytree_node=False, default=0)
+    n_pose_slots: int = struct.field(pytree_node=False, default=0)
+    ngc: int = struct.field(pytree_node=False, default=0)
+    nq_art: int = struct.field(pytree_node=False, default=0)
+    nv_art: int = struct.field(pytree_node=False, default=0)
     n_pairs: int = struct.field(pytree_node=False, default=0)
-    n_contacts: int = struct.field(pytree_node=False, default=0)   # K
+    n_contacts: int = struct.field(pytree_node=False, default=0)
     n_friction_rows: int = struct.field(pytree_node=False, default=0)
     n_limits: int = struct.field(pytree_node=False, default=0)
     vmax: int = struct.field(pytree_node=False, default=0)
-    # host-side numpy dispatch tables: kind -> pair indices
+    arts: Any = struct.field(pytree_node=False, default=())      # tuple[ABEntry]
     kind_groups: Any = struct.field(pytree_node=False, default=None)
     body_names: Any = struct.field(pytree_node=False, default=None)
 
     @property
     def n_vars(self) -> int:
-        """QP variable count [cn cs ct ncs nct l] (UnilateralConstraintProblemData
-        index layout, include/Moby/UnilateralConstraintProblemData.h:187-205)."""
+        """QP variable layout [cn cs ct ncs nct l]
+        (UnilateralConstraintProblemData.h:187-205)."""
         return 5 * self.n_contacts + self.n_limits
 
     @property
     def n_ineq(self) -> int:
-        return self.n_contacts + self.n_friction_rows + self.n_limits
+        return self.n_contacts + self.n_limits + self.n_friction_rows
 
     @property
     def n_lcp(self) -> int:
@@ -149,27 +172,27 @@ class Scene:
 
 @struct.dataclass
 class State:
-    """Dynamic simulation state (one scenario). Batched via leading vmap axis."""
+    """Dynamic simulation state (one scenario)."""
 
-    pos: jnp.ndarray    # (nb, 3) COM position, world
-    quat: jnp.ndarray   # (nb, 4) orientation xyzw
-    vel: jnp.ndarray    # (nb, 3) COM linear velocity, world
-    omega: jnp.ndarray  # (nb, 3) angular velocity, world
-    time: jnp.ndarray   # ()
-    # impact-solver warm start (reference `_zlast`, ImpactConstraintHandlerQP.cpp:160)
-    zlast: jnp.ndarray        # (n_lcp,)
-    zlast_active: jnp.ndarray  # (K,) bool: contact-active mask of the stored solve
-    # worst observed penetration per pair (reference CCD::_min_dist_observed)
-    min_dist_obs: jnp.ndarray  # (np_,)
+    pos: jnp.ndarray     # (nb, 3)
+    quat: jnp.ndarray    # (nb, 4)
+    vel: jnp.ndarray     # (nb, 3)
+    omega: jnp.ndarray   # (nb, 3)
+    q_art: jnp.ndarray   # (nq_art,)
+    qd_art: jnp.ndarray  # (nv_art,)
+    time: jnp.ndarray
+    zlast: jnp.ndarray
+    zlast_active: jnp.ndarray
+    min_dist_obs: jnp.ndarray
 
 
 @dataclass
 class BodyDef:
     name: str
     mass: float = 0.0
-    inertia: np.ndarray = None          # (3,3) about COM in body frame
+    inertia: np.ndarray = None
     pos: np.ndarray = None
-    quat: np.ndarray = None             # xyzw
+    quat: np.ndarray = None
     lin_vel: np.ndarray = None
     ang_vel: np.ndarray = None
     enabled: bool = True
@@ -178,18 +201,17 @@ class BodyDef:
 
 @dataclass
 class GeomDef:
-    body: str
+    body: str                    # body name or "abname/linkname"
     gtype: int
-    params: np.ndarray                  # up to 4 floats
-    pos: np.ndarray = None              # local pose in body frame
+    params: np.ndarray
+    pos: np.ndarray = None
     quat: np.ndarray = None
-    verts: np.ndarray = None            # (V,3) local vertices (box/polyhedron)
+    verts: np.ndarray = None
 
 
 @dataclass
 class ContactParams:
-    """Per body-pair contact parameters (reference ContactParameters.cpp:23-26
-    defaults: epsilon=0, mu=0, NK=4)."""
+    """Reference ContactParameters defaults (ContactParameters.cpp:23-26)."""
 
     epsilon: float = 0.0
     mu_coulomb: float = 0.0
@@ -210,8 +232,7 @@ def box_vertices(hx, hy, hz) -> np.ndarray:
 
 
 def sphere_inertia(mass, r):
-    i = 2.0 / 5.0 * mass * r * r
-    return np.eye(3) * i
+    return np.eye(3) * (2.0 / 5.0 * mass * r * r)
 
 
 def box_inertia(mass, hx, hy, hz):
@@ -226,25 +247,36 @@ def box_inertia(mass, hx, hy, hz):
 
 
 def cylinder_inertia(mass, r, h):
-    # axis along local Y (Moby convention: cylinder axis = Y)
     ix = mass * (3 * r * r + h * h) / 12.0
     return np.diag([ix, 0.5 * mass * r * r, ix])
 
 
+@dataclass
+class ABDef:
+    """Articulated body under construction."""
+
+    name: str
+    model: amdl.ArticulatedModel
+    q0: np.ndarray = None
+    qd0: np.ndarray = None
+    link_names: List[str] = None
+
+
 class SceneBuilder:
-    """Host-side scene assembly. Mirrors what XMLReader + Simulator setup do
-    in the reference (src/XMLReader.cpp:151-204, src/Simulator.cpp)."""
+    """Host-side scene assembly (XMLReader + Simulator setup equivalent)."""
 
     def __init__(self, dtype=None):
         self.dtype = dtype or cfg.default_dtype()
         self.bodies: list[BodyDef] = []
         self.geoms: list[GeomDef] = []
+        self.arts: list[ABDef] = []
         self.contact_params: dict[tuple[str, str], ContactParams] = {}
         self.gravity = np.zeros(3)
         self.contact_dist_thresh = 1e-6
         self.min_step_size = cfg.NEAR_ZERO_F64
         self.disabled_pairs: set[tuple[str, str]] = set()
 
+    # ---------------- bodies / geoms ----------------
     def add_body(self, name, **kw) -> BodyDef:
         b = BodyDef(name=name, **kw)
         if b.inertia is None:
@@ -259,6 +291,18 @@ class SceneBuilder:
             b.ang_vel = np.zeros(3)
         self.bodies.append(b)
         return b
+
+    def add_articulated(self, name, model: amdl.ArticulatedModel, q0=None, qd0=None,
+                        link_names=None) -> ABDef:
+        ab = ABDef(
+            name=name,
+            model=model,
+            q0=np.asarray(q0) if q0 is not None else np.asarray(model.neutral_q()),
+            qd0=np.asarray(qd0) if qd0 is not None else np.zeros(model.nv),
+            link_names=link_names or [lk.name for lk in model.links],
+        )
+        self.arts.append(ab)
+        return ab
 
     def add_geom(self, body, gtype, params, pos=None, quat=None, verts=None):
         g = GeomDef(
@@ -280,12 +324,11 @@ class SceneBuilder:
     def set_gravity(self, g):
         self.gravity = np.asarray(g, np.float64)
 
+    # ---------------- compile ----------------
     def _lookup_cp(self, n1, n2) -> ContactParams:
         return self.contact_params.get(tuple(sorted((n1, n2))), ContactParams())
 
     def _pair_kind(self, ta, tb):
-        """Return (kind, flip) mirroring CCD::find_contacts dispatch
-        (include/Moby/CCD.inl:3-81); flip=True when (A,B) must be swapped."""
         if ta == SPHERE and tb == SPHERE:
             return K_SPHERE_SPHERE, False
         if ta == SPHERE and tb == PLANE:
@@ -296,9 +339,9 @@ class SceneBuilder:
             return K_BOX_SPHERE, True
         if ta == BOX and tb == SPHERE:
             return K_BOX_SPHERE, False
-        if ta == BOX and tb == PLANE:
-            return K_PLANE_GENERIC, True   # plane becomes A
-        if ta == PLANE and tb == BOX:
+        if ta in (BOX, POLYHEDRON) and tb == PLANE:
+            return K_PLANE_GENERIC, True
+        if ta == PLANE and tb in (BOX, POLYHEDRON):
             return K_PLANE_GENERIC, False
         if ta == CYLINDER and tb == PLANE:
             return K_CYLINDER_PLANE, False
@@ -308,37 +351,60 @@ class SceneBuilder:
             return K_TORUS_PLANE, False
         if ta == PLANE and tb == TORUS:
             return K_TORUS_PLANE, True
-        if ta == POLYHEDRON and tb == PLANE:
-            return K_PLANE_GENERIC, True
-        if ta == PLANE and tb == POLYHEDRON:
-            return K_PLANE_GENERIC, False
         return None, False
 
     def compile(self):
         dt = self.dtype
         nb = len(self.bodies)
-        ng = len(self.geoms)
-        name_to_idx = {b.name: i for i, b in enumerate(self.bodies)}
+        name_to_body = {b.name: i for i, b in enumerate(self.bodies)}
 
-        mass = np.array([b.mass for b in self.bodies], dt)
-        inertia = np.stack([b.inertia for b in self.bodies]).astype(dt)
+        # pose-slot map: free body i -> slot i, link l of ab k -> nb + offset
+        slot_names = {b.name: i for i, b in enumerate(self.bodies)}
+        slot_owner = [("free", i, 0) for i in range(nb)]
+        total_links = 0
+        gc_off = 6 * nb
+        q_off = v_off = 0
+        art_entries = []
+        for k, ab in enumerate(self.arts):
+            for l, lname in enumerate(ab.link_names):
+                slot_names[f"{ab.name}/{lname}"] = nb + total_links + l
+                slot_owner.append(("link", k, l))
+            art_entries.append(ABEntry(ab.name, ab.model, gc_off, q_off, v_off))
+            total_links += ab.model.nl
+            gc_off += ab.model.nv
+            q_off += ab.model.nq
+            v_off += ab.model.nv
+        ns = nb + total_links
+        ngc = gc_off
+        nq_art, nv_art = q_off, v_off
+
+        mass = np.array([b.mass for b in self.bodies], dt) if nb else np.zeros(0, dt)
+        inertia = (
+            np.stack([b.inertia for b in self.bodies]).astype(dt)
+            if nb
+            else np.zeros((0, 3, 3), dt)
+        )
         enabled = np.array([b.enabled for b in self.bodies], bool)
         inv_mass = np.where(
-            enabled & (mass > 0), 1.0 / np.maximum(mass, 1e-300), 0.0
+            enabled & (mass > 0), 1.0 / np.where(mass > 0, mass, 1.0), 0.0
         ).astype(dt)
         inv_inertia = np.zeros_like(inertia)
         for i, b in enumerate(self.bodies):
             if enabled[i] and b.mass > 0:
                 inv_inertia[i] = np.linalg.inv(b.inertia)
 
-        geom_body = np.array([name_to_idx[g.body] for g in self.geoms], np.int32)
+        slot_enabled = np.concatenate([enabled, np.ones(total_links, bool)])
+
+        ng = len(self.geoms)
+        geom_slot = np.array(
+            [slot_names[g.body] for g in self.geoms], np.int32
+        ) if ng else np.zeros(0, np.int32)
         geom_pos = np.stack([g.pos for g in self.geoms]).astype(dt) if ng else np.zeros((0, 3), dt)
         geom_quat = np.stack([g.quat for g in self.geoms]).astype(dt) if ng else np.zeros((0, 4), dt)
         geom_params = np.zeros((ng, 4), dt)
         for i, g in enumerate(self.geoms):
             geom_params[i, : len(g.params)] = g.params
 
-        # vertex table
         vmax = max([1] + [len(g.verts) for g in self.geoms if g.verts is not None])
         geom_verts = np.zeros((ng, vmax, 3), dt)
         geom_nverts = np.zeros(ng, np.int32)
@@ -347,11 +413,10 @@ class SceneBuilder:
                 geom_verts[i, : len(g.verts)] = g.verts
                 geom_nverts[i] = len(g.verts)
 
-        # rmax per body: farthest point of any attached geometry from the COM
-        # (reference: CCD.cpp:739 via Primitive::get_farthest_point_distance)
-        rmax = np.zeros(nb, dt)
+        # rmax per pose slot (reference CCD.cpp:739)
+        slot_rmax = np.zeros(ns, dt)
         for i, g in enumerate(self.geoms):
-            b = geom_body[i]
+            s = geom_slot[i]
             off = np.linalg.norm(g.pos)
             t = g.gtype
             if t == SPHERE:
@@ -362,23 +427,38 @@ class SceneBuilder:
                 r = off + float(math.hypot(g.params[0], g.params[1] / 2))
             elif t == TORUS:
                 r = off + float(g.params[0] + g.params[1])
-            elif t == POLYHEDRON:
-                r = off + float(np.max(np.linalg.norm(g.verts, axis=1))) if g.verts is not None else off
-            else:  # plane, heightmap: unbounded but on disabled bodies in practice
+            elif t == POLYHEDRON and g.verts is not None:
+                r = off + float(np.max(np.linalg.norm(g.verts, axis=1)))
+            else:
                 r = off
-            rmax[b] = max(rmax[b], r)
+            slot_rmax[s] = max(slot_rmax[s], r)
 
-        # ---- candidate pairs: all geometry pairs across distinct bodies with
-        # at least one enabled body (reference CollisionDetection.cpp:48-54)
+        # candidate pairs: geometry pairs across distinct pose slots where at
+        # least one side is dynamic (enabled) — CollisionDetection.cpp:48-54
+        def slot_body_key(s):
+            kind, k, l = slot_owner[s]
+            return ("b", k) if kind == "free" else ("a", k, l)
+
+        def slot_cp_name(s):
+            kind, k, l = slot_owner[s]
+            if kind == "free":
+                return self.bodies[k].name
+            # ContactParameters at the articulated-body level (fallback
+            # hierarchy geom->body->abody, ConstraintSimulator.cpp:82-155)
+            return self.arts[k].name
+
         pair_rows = []
         for i in range(ng):
             for j in range(i + 1, ng):
-                bi, bj = geom_body[i], geom_body[j]
-                if bi == bj:
+                si, sj = geom_slot[i], geom_slot[j]
+                if slot_body_key(si) == slot_body_key(sj):
                     continue
-                if not (enabled[bi] or enabled[bj]):
+                # skip pairs within the same articulated body? The reference
+                # does check them (self-collision) — keep cross-link pairs
+                # unless geometry-less.
+                if not (slot_enabled[si] or slot_enabled[sj]):
                     continue
-                ni, nj = self.bodies[bi].name, self.bodies[bj].name
+                ni, nj = slot_cp_name(si), slot_cp_name(sj)
                 if tuple(sorted((ni, nj))) in self.disabled_pairs:
                     continue
                 ta, tb = self.geoms[i].gtype, self.geoms[j].gtype
@@ -393,37 +473,33 @@ class SceneBuilder:
         pair_g2 = np.array([p[1] for p in pair_rows], np.int32)
         pair_kind = np.array([p[2] for p in pair_rows], np.int32)
 
-        # ---- contact slots
-        slot_pair, slot_b1, slot_b2 = [], [], []
-        slot_eps, slot_mu_c, slot_mu_v, slot_comp, slot_nk = [], [], [], [], []
+        # contact slots
+        s_pair, s_s1, s_s2 = [], [], []
+        s_eps, s_mu_c, s_mu_v, s_comp, s_nk = [], [], [], [], []
         pair_slot0 = np.zeros(n_pairs, np.int32)
         pair_nslots = np.zeros(n_pairs, np.int32)
         for p, (ga, gb, kind) in enumerate(pair_rows):
-            # plane_generic gets a uniform vmax slots per pair so each kind
-            # group is rectangular (inactive beyond the true vertex count)
-            ns = _kind_nslots(kind, vmax)
-            pair_slot0[p] = len(slot_pair)
-            pair_nslots[p] = ns
-            b1 = int(geom_body[ga])
-            b2 = int(geom_body[gb])
-            cp = self._lookup_cp(self.bodies[b1].name, self.bodies[b2].name)
-            for _ in range(ns):
-                slot_pair.append(p)
-                slot_b1.append(b1)
-                slot_b2.append(b2)
-                slot_eps.append(cp.epsilon)
-                slot_mu_c.append(cp.mu_coulomb)
-                slot_mu_v.append(cp.mu_viscous)
-                slot_comp.append(cp.compliance)
-                slot_nk.append(max(4, cp.nk))
+            nsl = _kind_nslots(kind, vmax)
+            pair_slot0[p] = len(s_pair)
+            pair_nslots[p] = nsl
+            s1 = int(geom_slot[ga])
+            s2 = int(geom_slot[gb])
+            cp = self._lookup_cp(slot_cp_name(s1), slot_cp_name(s2))
+            for _ in range(nsl):
+                s_pair.append(p)
+                s_s1.append(s1)
+                s_s2.append(s2)
+                s_eps.append(cp.epsilon)
+                s_mu_c.append(cp.mu_coulomb)
+                s_mu_v.append(cp.mu_viscous)
+                s_comp.append(cp.compliance)
+                s_nk.append(max(4, cp.nk))
+        K = len(s_pair)
 
-        K = len(slot_pair)
-
-        # ---- friction rows (setup_QP: NK/2 rows per contact,
-        # θ_j = j/(NK/2-1)·π/2, src/ImpactConstraintHandlerQP.cpp:461-479)
+        # friction rows: θ_j = j/(NK/2-1)·π/2 (setup_QP:461-479)
         fr_con, fr_cos, fr_sin = [], [], []
         for i in range(K):
-            half = slot_nk[i] // 2
+            half = s_nk[i] // 2
             for j in range(half):
                 theta = (j / (half - 1)) * (math.pi / 2) if half > 1 else 0.0
                 fr_con.append(i)
@@ -431,8 +507,35 @@ class SceneBuilder:
                 fr_sin.append(math.sin(theta))
         NF = len(fr_con)
 
-        # host-side dispatch tables: for each narrow-phase kind, the pair
-        # indices and their flattened contact-slot indices (static shapes)
+        # joint-limit slots: 2 per dof with a finite limit
+        lim_gc_col, lim_q_idx, lim_upper, lim_value, lim_eps = [], [], [], [], []
+        for k, ab in enumerate(self.arts):
+            ent = art_entries[k]
+            m = ab.model
+            for li, lk in enumerate(m.links):
+                jd = lk.joint
+                ndof = amdl.NV[m.jtype[li]]
+                if jd.hi is None and jd.lo is None:
+                    continue
+                for d in range(ndof):
+                    hi = jd.hi[d] if jd.hi is not None else np.inf
+                    lo = jd.lo[d] if jd.lo is not None else -np.inf
+                    col = ent.gc_off + m.v_off[li] + d
+                    qix = ent.q_off + m.q_off[li] + d
+                    if np.isfinite(hi):
+                        lim_gc_col.append(col)
+                        lim_q_idx.append(qix)
+                        lim_upper.append(True)
+                        lim_value.append(hi)
+                        lim_eps.append(getattr(jd, "restitution", 0.0) or 0.0)
+                    if np.isfinite(lo):
+                        lim_gc_col.append(col)
+                        lim_q_idx.append(qix)
+                        lim_upper.append(False)
+                        lim_value.append(lo)
+                        lim_eps.append(getattr(jd, "restitution", 0.0) or 0.0)
+        NL = len(lim_gc_col)
+
         kind_groups = {}
         for p, (_, _, kind) in enumerate(pair_rows):
             kind_groups.setdefault(int(kind), []).append(p)
@@ -440,11 +543,12 @@ class SceneBuilder:
             k: {
                 "pairs": np.array(v, np.int32),
                 "slots": np.concatenate(
-                    [pair_slot0[p] + np.arange(pair_nslots[p], dtype=np.int32) for p in v]
-                )
-                if v
-                else np.zeros(0, np.int32),
-                "nslots": int(pair_nslots[v[0]]) if v else 0,
+                    [
+                        pair_slot0[p] + np.arange(pair_nslots[p], dtype=np.int32)
+                        for p in v
+                    ]
+                ),
+                "nslots": int(pair_nslots[v[0]]),
             }
             for k, v in kind_groups.items()
         }
@@ -455,8 +559,9 @@ class SceneBuilder:
             inertia=jnp.array(inertia),
             inv_inertia=jnp.array(inv_inertia),
             enabled=jnp.array(enabled),
-            rmax=jnp.array(rmax),
-            geom_body=jnp.array(geom_body),
+            slot_enabled=jnp.array(slot_enabled),
+            slot_rmax=jnp.array(slot_rmax),
+            geom_slot=jnp.array(geom_slot),
             geom_pos=jnp.array(geom_pos),
             geom_quat=jnp.array(geom_quat),
             geom_params=jnp.array(geom_params),
@@ -465,13 +570,18 @@ class SceneBuilder:
             pair_kind=jnp.array(pair_kind),
             pair_slot0=jnp.array(pair_slot0),
             pair_nslots=jnp.array(pair_nslots),
-            slot_pair=jnp.array(np.array(slot_pair, np.int32)),
-            slot_b1=jnp.array(np.array(slot_b1, np.int32)),
-            slot_b2=jnp.array(np.array(slot_b2, np.int32)),
-            slot_eps=jnp.array(np.array(slot_eps, dt)),
-            slot_mu_c=jnp.array(np.array(slot_mu_c, dt)),
-            slot_mu_v=jnp.array(np.array(slot_mu_v, dt)),
-            slot_compliance=jnp.array(np.array(slot_comp, dt)),
+            slot_pair=jnp.array(np.array(s_pair, np.int32)),
+            slot_s1=jnp.array(np.array(s_s1, np.int32)),
+            slot_s2=jnp.array(np.array(s_s2, np.int32)),
+            slot_eps=jnp.array(np.array(s_eps, dt)),
+            slot_mu_c=jnp.array(np.array(s_mu_c, dt)),
+            slot_mu_v=jnp.array(np.array(s_mu_v, dt)),
+            slot_compliance=jnp.array(np.array(s_comp, dt)),
+            lim_gc_col=jnp.array(np.array(lim_gc_col, np.int32)),
+            lim_q_idx=jnp.array(np.array(lim_q_idx, np.int32)),
+            lim_upper=jnp.array(np.array(lim_upper, bool)),
+            lim_value=jnp.array(np.array(lim_value, dt)),
+            lim_eps=jnp.array(np.array(lim_eps, dt)),
             fr_con=jnp.array(np.array(fr_con, np.int32)),
             fr_cos=jnp.array(np.array(fr_cos, dt)),
             fr_sin=jnp.array(np.array(fr_sin, dt)),
@@ -485,20 +595,54 @@ class SceneBuilder:
             ),
             nb=nb,
             ng=ng,
+            n_pose_slots=ns,
+            ngc=ngc,
+            nq_art=nq_art,
+            nv_art=nv_art,
             n_pairs=n_pairs,
             n_contacts=K,
             n_friction_rows=NF,
-            n_limits=0,
+            n_limits=NL,
             vmax=vmax,
+            arts=tuple(art_entries),
             kind_groups=kind_groups,
             body_names=tuple(b.name for b in self.bodies),
         )
 
+        q_art = (
+            np.concatenate([ab.q0 for ab in self.arts]).astype(dt)
+            if self.arts
+            else np.zeros(0, dt)
+        )
+        qd_art = (
+            np.concatenate([ab.qd0 for ab in self.arts]).astype(dt)
+            if self.arts
+            else np.zeros(0, dt)
+        )
+
         state = State(
-            pos=jnp.array(np.stack([b.pos for b in self.bodies]).astype(dt)),
-            quat=jnp.array(np.stack([b.quat for b in self.bodies]).astype(dt)),
-            vel=jnp.array(np.stack([b.lin_vel for b in self.bodies]).astype(dt)),
-            omega=jnp.array(np.stack([b.ang_vel for b in self.bodies]).astype(dt)),
+            pos=jnp.array(
+                np.stack([b.pos for b in self.bodies]).astype(dt)
+                if nb
+                else np.zeros((0, 3), dt)
+            ),
+            quat=jnp.array(
+                np.stack([b.quat for b in self.bodies]).astype(dt)
+                if nb
+                else np.zeros((0, 4), dt)
+            ),
+            vel=jnp.array(
+                np.stack([b.lin_vel for b in self.bodies]).astype(dt)
+                if nb
+                else np.zeros((0, 3), dt)
+            ),
+            omega=jnp.array(
+                np.stack([b.ang_vel for b in self.bodies]).astype(dt)
+                if nb
+                else np.zeros((0, 3), dt)
+            ),
+            q_art=jnp.array(q_art),
+            qd_art=jnp.array(qd_art),
             time=jnp.array(0.0, dt),
             zlast=jnp.zeros(scene.n_lcp, dt),
             zlast_active=jnp.zeros(K, bool),

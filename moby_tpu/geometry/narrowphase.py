@@ -42,8 +42,12 @@ class Contacts(NamedTuple):
 
 
 def geom_world_pose(scene: sc.Scene, pos, quat_b, gidx):
-    """World pose of geometry slots gidx: body pose ∘ local pose."""
-    b = scene.geom_body[gidx]
+    """World pose of geometries gidx: pose-slot pose ∘ local pose.
+
+    `pos`/`quat_b` are pose-TABLE arrays (n_pose_slots, ·) covering free
+    bodies and articulated links uniformly (see sim.kinematics.compute).
+    """
+    b = scene.geom_slot[gidx]
     bp = pos[b]
     bq = quat_b[b]
     gp = bp + quat.rotate(bq, scene.geom_pos[gidx])

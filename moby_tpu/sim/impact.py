@@ -7,8 +7,11 @@ Mirrors the reference's live solver path
    with no impacting (`eNegative`) constraint
    (`UnilateralConstraint::determine_connected_constraints` +
    `remove_inactive_groups`, src/UnilateralConstraint.cpp:940-1220);
-2. contact/limit Jacobians and Delassus blocks
-   (`compute_problem_data`, src/ImpactConstraintHandler.cpp:1898+);
+2. contact/limit Jacobians over the global generalized coordinates and all
+   Delassus cross blocks (`compute_problem_data`,
+   src/ImpactConstraintHandler.cpp:1898+): free bodies are 6-dof blocks,
+   articulated bodies couple through their joint-space mass matrix H(q)
+   (X = inv(M), compute_X :1590);
 3. the QP stacked as a monolithic KKT LCP `[[H, -M'], [M, 0]]`
    (`setup_QP` + `solve_qp_work`, src/ImpactConstraintHandlerQP.cpp:94-499)
    solved by `lcp_fast_regularized(-20,4,-8)` with Lemke fallback, warm-started
@@ -17,10 +20,9 @@ Mirrors the reference's live solver path
    (`apply_restitution` + re-solve, src/ImpactConstraintHandler.cpp:577-602).
 
 TPU design: one *joint* LCP over all islands instead of per-island solves.
-For the (convex) QP model the two are trajectory-equivalent: the joint system
-is block-diagonal across islands, and although degenerate problems admit many
-impulse distributions, the per-body wrench (hence the velocity update) is
-unique, so trajectories match. Inactive islands are masked out exactly as
+For the convex QP model the two are trajectory-equivalent: the joint system is
+block-diagonal across islands and the per-body wrench of any LCP solution is
+unique, so velocity updates match. Inactive islands are masked out exactly as
 `remove_inactive_groups` drops them.
 """
 
@@ -33,27 +35,28 @@ import jax.numpy as jnp
 
 from .. import config as cfg
 from ..core import scene as sc
+from ..dynamics import aba as art_dyn
 from ..geometry.narrowphase import Contacts
 from ..math import quaternion as quat
 from ..solvers import lcp
+from .kinematics import PoseTable, gc_velocity, apply_gc_velocity_delta
 
 
 class ImpactResult(NamedTuple):
-    vel: jnp.ndarray
-    omega: jnp.ndarray
+    dv: jnp.ndarray          # (ngc,) total velocity change
     zlast: jnp.ndarray
     zlast_active: jnp.ndarray
-    impulses_n: jnp.ndarray  # (K,) final normal impulse magnitudes (diagnostics)
+    impulses_n: jnp.ndarray  # (K,)
 
 
-def contact_velocities(scene: sc.Scene, pos, vel, omega, con: Contacts):
+def contact_velocities(scene: sc.Scene, pt: PoseTable, con: Contacts):
     """Per-slot relative velocity of body1's material point minus body2's,
-    projected on (n, t1, t2). (reference UnilateralConstraint::calc_constraint_vel)."""
-    b1, b2 = scene.slot_b1, scene.slot_b2
-    r1 = con.point - pos[b1]
-    r2 = con.point - pos[b2]
-    vp1 = vel[b1] + jnp.cross(omega[b1], r1)
-    vp2 = vel[b2] + jnp.cross(omega[b2], r2)
+    projected on (n, t1, t2) (UnilateralConstraint::calc_constraint_vel)."""
+    s1, s2 = scene.slot_s1, scene.slot_s2
+    r1 = con.point - pt.pos[s1]
+    r2 = con.point - pt.pos[s2]
+    vp1 = pt.vel[s1] + jnp.cross(pt.omega[s1], r1)
+    vp2 = pt.vel[s2] + jnp.cross(pt.omega[s2], r2)
     rv = vp1 - vp2
     return (
         jnp.sum(rv * con.normal, axis=-1),
@@ -63,151 +66,180 @@ def contact_velocities(scene: sc.Scene, pos, vel, omega, con: Contacts):
 
 
 def island_labels(scene: sc.Scene, active):
-    """Connected components over *enabled* bodies through active contacts
-    (disabled bodies are not nodes: src/UnilateralConstraint.cpp:958-975).
+    """Connected components over *enabled* pose slots through active contacts;
+    links of one articulated body are always mutually connected
+    (src/UnilateralConstraint.cpp:958-1065). Disabled bodies are not nodes."""
+    ns = scene.n_pose_slots
+    labels0 = jnp.arange(ns, dtype=jnp.int32)
+    s1, s2 = scene.slot_s1, scene.slot_s2
+    both = scene.slot_enabled[s1] & scene.slot_enabled[s2] & active
+    big = jnp.int32(ns)
 
-    Returns (labels (nb,), n iterations run). Min-label propagation for nb
-    rounds (an upper bound on graph diameter)."""
-    nb = scene.nb
-    labels0 = jnp.arange(nb, dtype=jnp.int32)
-    b1, b2 = scene.slot_b1, scene.slot_b2
-    both = scene.enabled[b1] & scene.enabled[b2] & active
+    # static AB cliques
+    ab_ranges = []
+    off = scene.nb
+    for ent in scene.arts:
+        ab_ranges.append((off, off + ent.model.nl))
+        off += ent.model.nl
 
     def body(_, labels):
-        l1 = labels[b1]
-        l2 = labels[b2]
-        m = jnp.minimum(l1, l2)
-        big = jnp.int32(nb)
-        upd1 = jnp.where(both, m, big)
-        upd2 = jnp.where(both, m, big)
-        labels = labels.at[b1].min(upd1)
-        labels = labels.at[b2].min(upd2)
+        m = jnp.minimum(labels[s1], labels[s2])
+        upd = jnp.where(both, m, big)
+        labels = labels.at[s1].min(upd)
+        labels = labels.at[s2].min(upd)
+        for a, b in ab_ranges:
+            mn = jnp.min(labels[a:b])
+            labels = labels.at[a:b].set(mn)
         return labels
 
-    return jax.lax.fori_loop(0, nb, body, labels0)
+    return jax.lax.fori_loop(0, ns, body, labels0)
 
 
-def active_solve_mask(scene: sc.Scene, con: Contacts, cn_vel, near_zero):
-    """Constraints that actually get solved: active slots whose island has at
-    least one impacting (vel < -tol) constraint (`remove_inactive_groups`)."""
-    labels = island_labels(scene, con.active)
-    b1, b2 = scene.slot_b1, scene.slot_b2
-    # a constraint's island: via an enabled endpoint
-    lab1 = jnp.where(scene.enabled[b1], labels[b1], jnp.int32(scene.nb))
-    lab2 = jnp.where(scene.enabled[b2], labels[b2], jnp.int32(scene.nb))
-    slot_lab = jnp.minimum(lab1, lab2)
-    neg = con.active & (cn_vel < -near_zero)
-    # scatter-or: which labels have an impacting constraint
-    has_neg = jnp.zeros(scene.nb + 1, bool).at[slot_lab].max(neg)
-    return con.active & has_neg[slot_lab], slot_lab
+def limit_activity_state(scene: sc.Scene, st, near_zero):
+    """Active limit slots (q beyond the limit:
+    ArticulatedBody::find_limit_constraints) and their constraint velocity
+    (±qd: compute_limit_components / calc_constraint_vel)."""
+    if scene.n_limits == 0:
+        z = jnp.zeros(0, bool)
+        return z, jnp.zeros(0, st.pos.dtype)
+    q = st.q_art[scene.lim_q_idx]
+    qd = st.qd_art[scene.lim_gc_col - 6 * scene.nb]
+    act = jnp.where(scene.lim_upper, q >= scene.lim_value, q <= scene.lim_value)
+    vel = jnp.where(scene.lim_upper, -qd, qd)
+    return act, vel
 
 
 class Problem(NamedTuple):
-    Jn: jnp.ndarray   # (K, nb, 6) rows in [v; ω] layout
+    Jn: jnp.ndarray   # (K, ngc)
     Js: jnp.ndarray
     Jt: jnp.ndarray
-    Minv: jnp.ndarray  # (nb, 6, 6)
-    Ann: jnp.ndarray  # Delassus blocks (Cn_X_CnT etc.)
+    Jl: jnp.ndarray   # (NL, ngc) signed limit rows
+    Minv: jnp.ndarray  # (ngc, ngc)
+    Ann: jnp.ndarray
     Ans: jnp.ndarray
     Ant: jnp.ndarray
+    Anl: jnp.ndarray
     Ass: jnp.ndarray
     Ast: jnp.ndarray
+    Asl: jnp.ndarray
     Att: jnp.ndarray
+    Atl: jnp.ndarray
+    All: jnp.ndarray
     Cn_v: jnp.ndarray
     Cs_v: jnp.ndarray
     Ct_v: jnp.ndarray
+    L_v: jnp.ndarray
 
 
-def _contact_jacobian(scene, pos, con, act, d_vec):
-    """(K, nb, 6) Jacobian for direction array d_vec (K,3): +d on body1,
-    -d on body2, with moment arms about each COM
-    (reference add_contact_dir_to_Jacobian, src/ImpactConstraintHandler.cpp:1857)."""
-    K, nb = scene.n_contacts, scene.nb
-    dtype = pos.dtype
-    b1, b2 = scene.slot_b1, scene.slot_b2
-    r1 = con.point - pos[b1]
-    r2 = con.point - pos[b2]
-    J = jnp.zeros((K, nb, 6), dtype)
+def _contact_rows(scene, pt: PoseTable, con: Contacts, act, d_vec):
+    """(K, ngc) rows: [d, r×d]·W_s1 − [d, r×d]·W_s2
+    (add_contact_dir_to_Jacobian, src/ImpactConstraintHandler.cpp:1857)."""
+    s1, s2 = scene.slot_s1, scene.slot_s2
     dm = jnp.where(act[:, None], d_vec, 0.0)
-    rows = jnp.arange(K)
-    J = J.at[rows, b1, 0:3].add(dm)
-    J = J.at[rows, b1, 3:6].add(jnp.cross(r1, dm))
-    J = J.at[rows, b2, 0:3].add(-dm)
-    J = J.at[rows, b2, 3:6].add(-jnp.cross(r2, dm))
-    # disabled bodies have no generalized coordinates in the reference; zero
-    # their columns (their inverse inertia is zero anyway)
-    J = J * scene.enabled[None, :, None]
+    r1 = con.point - pt.pos[s1]
+    r2 = con.point - pt.pos[s2]
+    w1 = jnp.concatenate([dm, jnp.cross(r1, dm)], axis=-1)  # (K, 6)
+    w2 = jnp.concatenate([dm, jnp.cross(r2, dm)], axis=-1)
+    J = jnp.einsum("ki,kij->kj", w1, pt.W[s1]) - jnp.einsum(
+        "ki,kij->kj", w2, pt.W[s2]
+    )
     return J
 
 
-def body_inv_inertia_world(scene, quat_b):
-    """Block-diagonal spatial inverse inertia (nb, 6, 6), [v; ω] layout."""
-    R = quat.to_matrix(quat_b)
-    Iinv_w = R @ scene.inv_inertia @ jnp.swapaxes(R, -1, -2)
+def gc_inv_inertia(scene: sc.Scene, st, quat_b):
+    """Dense (ngc, ngc) inverse inertia: 6x6 free-body blocks + per-AB
+    joint-space H(q)^{-1} (the reference's X, compute_X :1590)."""
+    ngc = scene.ngc
+    dtype = st.pos.dtype
+    Minv = jnp.zeros((ngc, ngc), dtype)
     nb = scene.nb
-    dtype = quat_b.dtype
-    Minv = jnp.zeros((nb, 6, 6), dtype)
-    eye = jnp.eye(3, dtype=dtype)
-    Minv = Minv.at[:, 0:3, 0:3].set(scene.inv_mass[:, None, None] * eye)
-    Minv = Minv.at[:, 3:6, 3:6].set(Iinv_w)
+    if nb:
+        R = quat.to_matrix(quat_b)
+        Iinv_w = R @ scene.inv_inertia @ jnp.swapaxes(R, -1, -2)
+        eye3 = jnp.eye(3, dtype=dtype)
+        for b in range(nb):
+            Minv = Minv.at[6 * b : 6 * b + 3, 6 * b : 6 * b + 3].set(
+                scene.inv_mass[b] * eye3
+            )
+            Minv = Minv.at[6 * b + 3 : 6 * b + 6, 6 * b + 3 : 6 * b + 6].set(
+                Iinv_w[b]
+            )
+    for ent in scene.arts:
+        m = ent.model
+        q = st.q_art[ent.q_off : ent.q_off + m.nq]
+        H = art_dyn.crb(m, q)
+        Hinv = jnp.linalg.inv(H)
+        Minv = Minv.at[
+            ent.gc_off : ent.gc_off + m.nv, ent.gc_off : ent.gc_off + m.nv
+        ].set(Hinv)
     return Minv
 
 
-def assemble_problem(scene, pos, quat_b, vel, omega, con: Contacts, act) -> Problem:
-    Jn = _contact_jacobian(scene, pos, con, act, con.normal)
-    Js = _contact_jacobian(scene, pos, con, act, con.tan1)
-    Jt = _contact_jacobian(scene, pos, con, act, con.tan2)
-    Minv = body_inv_inertia_world(scene, quat_b)
+def assemble_problem(scene, st, pt: PoseTable, con: Contacts, act, act_lim) -> Problem:
+    dtype = st.pos.dtype
+    Jn = _contact_rows(scene, pt, con, act, con.normal)
+    Js = _contact_rows(scene, pt, con, act, con.tan1)
+    Jt = _contact_rows(scene, pt, con, act, con.tan2)
 
-    # W = inv(M) J' per direction: (K, nb, 6)
-    Wn = jnp.einsum("kbi,bij->kbj", Jn, Minv)
-    Ws = jnp.einsum("kbi,bij->kbj", Js, Minv)
-    Wt = jnp.einsum("kbi,bij->kbj", Jt, Minv)
+    NL = scene.n_limits
+    ngc = scene.ngc
+    if NL:
+        sign = jnp.where(scene.lim_upper, -1.0, 1.0).astype(dtype)
+        sign = jnp.where(act_lim, sign, 0.0)
+        Jl = jnp.zeros((NL, ngc), dtype).at[
+            jnp.arange(NL), scene.lim_gc_col
+        ].set(sign)
+    else:
+        Jl = jnp.zeros((0, ngc), dtype)
 
-    def dele(Ja, Wb):
-        return jnp.einsum("kbi,lbi->kl", Ja, Wb)
+    Minv = gc_inv_inertia(scene, st, st.quat)
+    v = gc_velocity(scene, st)
 
-    v6 = jnp.concatenate([vel, omega], axis=-1)  # (nb, 6)
+    Wn = Jn @ Minv
+    Ws = Js @ Minv
+    Wt = Jt @ Minv
+    WlM = Jl @ Minv
+
     return Problem(
-        Jn=Jn, Js=Js, Jt=Jt, Minv=Minv,
-        Ann=dele(Jn, Wn), Ans=dele(Jn, Ws), Ant=dele(Jn, Wt),
-        Ass=dele(Js, Ws), Ast=dele(Js, Wt), Att=dele(Jt, Wt),
-        Cn_v=jnp.einsum("kbi,bi->k", Jn, v6),
-        Cs_v=jnp.einsum("kbi,bi->k", Js, v6),
-        Ct_v=jnp.einsum("kbi,bi->k", Jt, v6),
+        Jn=Jn, Js=Js, Jt=Jt, Jl=Jl, Minv=Minv,
+        Ann=Wn @ Jn.T, Ans=Wn @ Js.T, Ant=Wn @ Jt.T, Anl=Wn @ Jl.T,
+        Ass=Ws @ Js.T, Ast=Ws @ Jt.T, Asl=Ws @ Jl.T,
+        Att=Wt @ Jt.T, Atl=Wt @ Jl.T,
+        All=WlM @ Jl.T,
+        Cn_v=Jn @ v,
+        Cs_v=Js @ v,
+        Ct_v=Jt @ v,
+        L_v=Jl @ v,
     )
 
 
-def build_qp_lcp(scene: sc.Scene, p: Problem, act):
+def build_qp_lcp(scene: sc.Scene, p: Problem, act, act_lim):
     """Stack the QP into the monolithic KKT LCP (setup_QP + solve_qp_work).
 
-    Variables x = [cn, cs, ct, ncs, nct, l]; inequalities ordered
-    [Cn·v+ >= 0 (K)] , [L·v+ >= 0 (NL)], [friction rows (NF)].
-    MM = [[H, -M'], [M, 0]],  qq = [c, Cn_v, L_v, mu_visc*|v_t|].
+    Variables x = [cn, cs, ct, ncs, nct, l]; inequality rows
+    [Cn·v+ >= 0 (K)], [L·v+ >= 0 (NL)], [friction (NF)].
+    MM = [[H, -M'], [M, 0]],  qq = [c, Cn_v, L_v, mu_visc·|v_t|].
     """
     K = scene.n_contacts
+    NL = scene.n_limits
     NV = scene.n_vars
     NI = scene.n_ineq
     dtype = p.Ann.dtype
 
-    Ann, Ans, Ant = p.Ann, p.Ans, p.Ant
-    Ass, Ast, Att = p.Ass, p.Ast, p.Att
-
-    # H row blocks (contact part; no limits yet)
-    row_n = jnp.concatenate([Ann, Ans, Ant, -Ans, -Ant], axis=1)
-    row_s = jnp.concatenate([Ans.T, Ass, Ast, -Ass, -Ast], axis=1)
-    row_t = jnp.concatenate([Ant.T, Ast.T, Att, -Ast.T, -Att], axis=1)
-    H = jnp.concatenate([row_n, row_s, row_t, -row_s, -row_t], axis=0)
-    # contact compliance on the cn diagonal (setup_QP:446-448)
-    H = H + jnp.diag(
-        jnp.concatenate([scene.slot_compliance, jnp.zeros(4 * K, dtype)])
+    row_n = jnp.concatenate([p.Ann, p.Ans, p.Ant, -p.Ans, -p.Ant, p.Anl], axis=1)
+    row_s = jnp.concatenate([p.Ans.T, p.Ass, p.Ast, -p.Ass, -p.Ast, p.Asl], axis=1)
+    row_t = jnp.concatenate([p.Ant.T, p.Ast.T, p.Att, -p.Ast.T, -p.Att, p.Atl], axis=1)
+    row_l = jnp.concatenate(
+        [p.Anl.T, p.Asl.T, p.Atl.T, -p.Asl.T, -p.Atl.T, p.All], axis=1
     )
+    H = jnp.concatenate([row_n, row_s, row_t, -row_s, -row_t, row_l], axis=0)
+    H = H + jnp.diag(
+        jnp.concatenate(
+            [scene.slot_compliance, jnp.zeros(4 * K + NL, dtype)]
+        )
+    )
+    c = jnp.concatenate([p.Cn_v, p.Cs_v, p.Ct_v, -p.Cs_v, -p.Ct_v, p.L_v])
 
-    c = jnp.concatenate([p.Cn_v, p.Cs_v, p.Ct_v, -p.Cs_v, -p.Ct_v])
-
-    # inequality rows
-    Mn = row_n                                  # Cn * iM * [all]
-    # friction rows
     NF = scene.n_friction_rows
     fr = scene.fr_con
     Mf = jnp.zeros((NF, NV), dtype)
@@ -218,9 +250,9 @@ def build_qp_lcp(scene: sc.Scene, p: Problem, act):
     Mf = Mf.at[rows, 2 * K + fr].set(-scene.fr_sin)
     Mf = Mf.at[rows, 4 * K + fr].set(-scene.fr_sin)
 
-    Mineq = jnp.concatenate([Mn, Mf], axis=0)
+    Mineq = jnp.concatenate([row_n, row_l, Mf], axis=0)
     tvel = jnp.sqrt(p.Cs_v ** 2 + p.Ct_v ** 2)
-    q_low = jnp.concatenate([p.Cn_v, scene.slot_mu_v[fr] * tvel[fr]])
+    q_low = jnp.concatenate([p.Cn_v, p.L_v, scene.slot_mu_v[fr] * tvel[fr]])
 
     MM = jnp.zeros((NV + NI, NV + NI), dtype)
     MM = MM.at[:NV, :NV].set(H)
@@ -228,9 +260,8 @@ def build_qp_lcp(scene: sc.Scene, p: Problem, act):
     MM = MM.at[NV:, :NV].set(Mineq)
     qq = jnp.concatenate([c, q_low])
 
-    # variable/row activity mask
-    var_act = jnp.concatenate([act] * 5)
-    row_act = jnp.concatenate([act, act[fr]])
+    var_act = jnp.concatenate([act] * 5 + [act_lim])
+    row_act = jnp.concatenate([act, act_lim, act[fr]])
     mask = jnp.concatenate([var_act, row_act])
     return MM, qq, mask
 
@@ -240,91 +271,90 @@ def unstack_impulses(scene: sc.Scene, z):
     cn = z[:K]
     cs = z[K : 2 * K] - z[3 * K : 4 * K]
     ct = z[2 * K : 3 * K] - z[4 * K : 5 * K]
-    return cn, cs, ct
+    l = z[5 * K : 5 * K + scene.n_limits]
+    return cn, cs, ct, l
 
 
-def apply_impulses(scene, p: Problem, vel, omega, cn, cs, ct):
-    """dv = inv(M) (Jn' cn + Js' cs + Jt' ct) (update_from_stacked)."""
-    wrench = (
-        jnp.einsum("kbi,k->bi", p.Jn, cn)
-        + jnp.einsum("kbi,k->bi", p.Js, cs)
-        + jnp.einsum("kbi,k->bi", p.Jt, ct)
+def impulse_dv(scene, p: Problem, cn, cs, ct, l):
+    """dv = inv(M)(Jn'cn + Js'cs + Jt'ct + Jl'l) (update_from_stacked)."""
+    w = p.Jn.T @ cn + p.Js.T @ cs + p.Jt.T @ ct + p.Jl.T @ l
+    return p.Minv @ w
+
+
+def _min_constraint_vel(Cn_v, act, L_v, act_lim):
+    vals = jnp.concatenate(
+        [
+            jnp.where(act, Cn_v, jnp.inf),
+            jnp.where(act_lim, L_v, jnp.inf),
+            jnp.array([jnp.inf], Cn_v.dtype),
+        ]
     )
-    dv6 = jnp.einsum("bij,bj->bi", p.Minv, wrench)
-    return vel + dv6[:, 0:3], omega + dv6[:, 3:6]
-
-
-def _min_constraint_vel(Cn_v, act):
-    return jnp.min(jnp.where(act, Cn_v, jnp.inf))
+    return jnp.min(vals)
 
 
 def resolve_impacts(
-    scene: sc.Scene, pos, quat_b, vel, omega, con: Contacts, zlast, zlast_active
+    scene: sc.Scene, st, pt: PoseTable, con: Contacts, zlast, zlast_active
 ) -> ImpactResult:
-    """The full impact pipeline for one step (QP model).
-
-    No-op when no constraint is impacting (`calc_impacting_unilateral_constraint_forces`
-    returns early when none are eNegative, src/ConstraintSimulator.cpp:310-325).
-    """
-    dtype = pos.dtype
+    """Full impact pipeline for one step (QP model). Returns the gc velocity
+    delta (zero when no constraint is impacting —
+    `calc_impacting_unilateral_constraint_forces` early-out)."""
+    dtype = st.pos.dtype
     nz = cfg.near_zero(dtype)
     K = scene.n_contacts
 
-    cn_vel, _, _ = contact_velocities(scene, pos, vel, omega, con)
-    act, slot_lab = active_solve_mask(scene, con, cn_vel, nz)
-    any_impact = jnp.any(act)
+    act, act_lim, cn_vel, lim_vel = _active(scene, st, pt, con, nz)
+    any_impact = jnp.any(act) | (jnp.any(act_lim) if scene.n_limits else False)
 
-    p = assemble_problem(scene, pos, quat_b, vel, omega, con, act)
-    MM, qq, mask = build_qp_lcp(scene, p, act)
+    p = assemble_problem(scene, st, pt, con, act, act_lim)
+    MM, qq, mask = build_qp_lcp(scene, p, act, act_lim)
 
-    # warm start only if the active set is unchanged (Moby warm-starts when
-    # the z vector size matches, i.e. same constraint counts)
     same = jnp.all(zlast_active == act) & jnp.any(zlast_active)
     z0 = jnp.where(same, zlast, jnp.zeros_like(zlast))
 
     z, ok = lcp.solve_lcp(MM, qq, mask, z0=z0)
-    cn1, cs1, ct1 = unstack_impulses(scene, z)
-    vel1, om1 = apply_impulses(scene, p, vel, omega, cn1, cs1, ct1)
+    cn1, cs1, ct1, l1 = unstack_impulses(scene, z)
+    dv1 = impulse_dv(scene, p, cn1, cs1, ct1, l1)
 
-    # track post-impulse normal velocities (update_constraint_velocities_from_impulses)
-    Cn_v1 = p.Cn_v + p.Ann @ cn1 + p.Ans @ cs1 + p.Ant @ ct1
-    minv = _min_constraint_vel(Cn_v1, act)
+    Cn_v1 = p.Cn_v + p.Jn @ dv1
+    L_v1 = p.L_v + p.Jl @ dv1
+    minv = _min_constraint_vel(Cn_v1, act, L_v1, act_lim)
 
-    # Poisson restitution: scale the cn part of the stacked z by epsilon
-    # (apply_restitution(q, z): only CN and L segments scale; tangential
-    # segments stay — mirrored faithfully)
-    eps = scene.slot_eps
-    zr = z.at[:K].multiply(eps)
+    # Poisson restitution: scale cn and l segments of the stacked z
+    # (apply_restitution(q, z), src/ImpactConstraintHandler.cpp:470-500)
+    zr = z.at[:K].multiply(scene.slot_eps)
+    if scene.n_limits:
+        zr = zr.at[5 * K : 5 * K + scene.n_limits].multiply(scene.lim_eps)
     changed = jnp.any(zr[:K] > nz)
+    if scene.n_limits:
+        changed = changed | jnp.any(zr[5 * K : 5 * K + scene.n_limits] > nz)
 
-    cn2, cs2, ct2 = unstack_impulses(scene, zr)
-    vel2, om2 = apply_impulses(scene, p, vel1, om1, cn2, cs2, ct2)
-    Cn_v2 = Cn_v1 + p.Ann @ cn2 + p.Ans @ cs2 + p.Ant @ ct2
-    minv_plus = _min_constraint_vel(Cn_v2, act)
+    cn2, cs2, ct2, l2 = unstack_impulses(scene, zr)
+    dv2 = impulse_dv(scene, p, cn2, cs2, ct2, l2)
+    Cn_v2 = Cn_v1 + p.Jn @ dv2
+    L_v2 = L_v1 + p.Jl @ dv2
+    minv_plus = _min_constraint_vel(Cn_v2, act, L_v2, act_lim)
 
-    # conditionally solve a second impact problem from the post-restitution
-    # velocities (src/ImpactConstraintHandler.cpp:592-602)
     need_resolve = changed & (minv_plus < 0.0) & (minv_plus < minv - nz)
 
-    p2 = Problem(
-        Jn=p.Jn, Js=p.Js, Jt=p.Jt, Minv=p.Minv,
-        Ann=p.Ann, Ans=p.Ans, Ant=p.Ant, Ass=p.Ass, Ast=p.Ast, Att=p.Att,
+    # second impact problem from post-restitution velocities
+    v_delta = dv1 + dv2
+    p2 = p._replace(
         Cn_v=Cn_v2,
-        Cs_v=p.Cs_v + p.Ans.T @ (cn1 + cn2) + p.Ass @ (cs1 + cs2) + p.Ast @ (ct1 + ct2),
-        Ct_v=p.Ct_v + p.Ant.T @ (cn1 + cn2) + p.Ast.T @ (cs1 + cs2) + p.Att @ (ct1 + ct2),
+        Cs_v=p.Cs_v + p.Js @ v_delta,
+        Ct_v=p.Ct_v + p.Jt @ v_delta,
+        L_v=L_v2,
     )
-    MM2, qq2, _ = build_qp_lcp(scene, p2, act)
-    z3, ok3 = lcp.solve_lcp(MM2, qq2, mask, z0=z)
-    cn3, cs3, ct3 = unstack_impulses(scene, z3)
-    vel3, om3 = apply_impulses(scene, p2, vel2, om2, cn3, cs3, ct3)
+    MM2, qq2, _ = build_qp_lcp(scene, p2, act, act_lim)
+    z3, _ = lcp.solve_lcp(MM2, qq2, mask, z0=z)
+    cn3, cs3, ct3, l3 = unstack_impulses(scene, z3)
+    dv3 = impulse_dv(scene, p2, cn3, cs3, ct3, l3)
 
-    vel_f = jnp.where(need_resolve, vel3, jnp.where(changed, vel2, vel1))
-    om_f = jnp.where(need_resolve, om3, jnp.where(changed, om2, om1))
+    dv = jnp.where(
+        need_resolve, dv1 + dv2 + dv3, jnp.where(changed, dv1 + dv2, dv1)
+    )
     z_f = jnp.where(need_resolve, z3, z)
 
-    # no impacting constraints at all -> untouched state
-    vel_out = jnp.where(any_impact, vel_f, vel)
-    om_out = jnp.where(any_impact, om_f, omega)
+    dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
     z_out = jnp.where(any_impact, z_f, zlast)
     za_out = jnp.where(any_impact, act, zlast_active)
     cn_total = jnp.where(
@@ -332,4 +362,40 @@ def resolve_impacts(
         cn1 + jnp.where(changed, cn2, 0.0) + jnp.where(need_resolve, cn3, 0.0),
         jnp.zeros(K, dtype),
     )
-    return ImpactResult(vel_out, om_out, z_out, za_out, cn_total)
+    return ImpactResult(dv, z_out, za_out, cn_total)
+
+
+def _active(scene, st, pt, con, nz):
+    """Solve masks (contacts, limits) plus raw constraint velocities."""
+    cn_vel, _, _ = contact_velocities(scene, pt, con)
+    lim_act, lim_vel = limit_activity_state(scene, st, nz)
+
+    labels = island_labels(scene, con.active)
+    ns = scene.n_pose_slots
+    s1, s2 = scene.slot_s1, scene.slot_s2
+    lab1 = jnp.where(scene.slot_enabled[s1], labels[s1], jnp.int32(ns))
+    lab2 = jnp.where(scene.slot_enabled[s2], labels[s2], jnp.int32(ns))
+    con_lab = jnp.minimum(lab1, lab2)
+
+    if scene.n_limits:
+        col_to_slot = jnp.zeros(scene.ngc, jnp.int32)
+        off = scene.nb
+        for ent in scene.arts:
+            col_to_slot = col_to_slot.at[
+                ent.gc_off : ent.gc_off + ent.model.nv
+            ].set(off)
+            off += ent.model.nl
+        lim_lab = labels[col_to_slot[scene.lim_gc_col]]
+    else:
+        lim_lab = jnp.zeros(0, jnp.int32)
+
+    neg_con = con.active & (cn_vel < -nz)
+    has_neg = jnp.zeros(ns + 1, bool).at[con_lab].max(neg_con)
+    if scene.n_limits:
+        neg_lim = lim_act & (lim_vel < -nz)
+        has_neg = has_neg.at[lim_lab].max(neg_lim)
+        act_lim = lim_act & has_neg[lim_lab]
+    else:
+        act_lim = lim_act
+    act = con.active & has_neg[con_lab]
+    return act, act_lim, cn_vel, lim_vel

@@ -9,10 +9,8 @@ position-level LCP over the contact-normal Jacobians
 (the reference's `determine_dq`, :932) and move the configuration by the
 resulting generalized displacement. The reference guards the update with a
 Ridders'-rootfinding line search so no *new* violation is introduced
-(`update_q`, :1056); our contact displacements are ~NEAR_ZERO-scale so a full
-step is taken (t=1), matching the benign-case behavior. Iteration-capped.
-
-Velocities are untouched (the reference zeroes and restores them).
+(`update_q`, :1056); displacements here are ~NEAR_ZERO-scale so the full step
+(t=1) matches the benign case. Iteration-capped; velocities untouched.
 """
 
 from __future__ import annotations
@@ -26,49 +24,81 @@ from ..geometry import narrowphase as nph
 from ..math import quaternion as quat
 from ..solvers import lcp
 from . import impact
+from . import kinematics
 
 MAX_STAB_ITERS = 4
+
+
+def _limit_violation(scene, s):
+    """Signed joint-limit slack (>= 0 when satisfied): hi - q / q - lo."""
+    if scene.n_limits == 0:
+        return jnp.zeros(0, s.pos.dtype)
+    q = s.q_art[scene.lim_q_idx]
+    return jnp.where(scene.lim_upper, scene.lim_value - q, q - scene.lim_value)
 
 
 def stabilize(scene: sc.Scene, st: sc.State) -> sc.State:
     dtype = st.pos.dtype
     nz = cfg.near_zero(dtype)
-    if scene.n_contacts == 0:
+    if scene.n_contacts == 0 and scene.n_limits == 0:
         return st
 
-    def min_dist(pos, quat_b):
-        pd, _ = nph.narrow_phase(scene, pos, quat_b, jnp.asarray(nz, dtype))
-        return jnp.min(
-            jnp.concatenate([pd.dist, jnp.array([jnp.inf], dtype)])
-        )
+    def min_dist(s):
+        vals = [jnp.array([jnp.inf], dtype), _limit_violation(scene, s)]
+        if scene.n_pairs:
+            pt = kinematics.compute(scene, s)
+            pd, _ = nph.narrow_phase(
+                scene, pt.pos, pt.quat, jnp.asarray(nz, dtype)
+            )
+            vals.append(pd.dist)
+        return jnp.min(jnp.concatenate(vals))
 
     def cond(carry):
-        pos, quat_b, it = carry
-        return (min_dist(pos, quat_b) < nz) & (it < MAX_STAB_ITERS)
+        s, it = carry
+        return (min_dist(s) < nz) & (it < MAX_STAB_ITERS)
 
     def body(carry):
-        pos, quat_b, it = carry
-        # contacts with an "infinite" activation tolerance: every slot with a
-        # finite signed distance participates; impulses only flow where
-        # dist < 2*NEAR_ZERO through the LCP q-vector
-        _, con = nph.narrow_phase(scene, pos, quat_b, jnp.asarray(jnp.inf, dtype))
+        s, it = carry
+        pt = kinematics.compute(scene, s)
+        _, con = nph.narrow_phase(scene, pt.pos, pt.quat, jnp.asarray(jnp.inf, dtype))
         act = con.active & jnp.isfinite(con.depth)
+        all_lim = (
+            jnp.ones(scene.n_limits, bool)
+            if scene.n_limits
+            else jnp.zeros(0, bool)
+        )
 
-        zeros = jnp.zeros_like(st.vel)
-        p = impact.assemble_problem(scene, pos, quat_b, zeros, zeros, con, act)
-        qq = con.depth - jnp.abs(nz) - nz
-        z, ok = lcp.lcp_fast(p.Ann, qq, act)
-        z2, ok2 = lcp.lcp_lemke_regularized(p.Ann, qq, act)
+        p = impact.assemble_problem(scene, s, pt, con, act, all_lim)
+        # stacked [contacts; limits] position-projection LCP (determine_dq:932)
+        MM = jnp.block([[p.Ann, p.Anl], [p.Anl.T, p.All]])
+        qq = jnp.concatenate(
+            [
+                con.depth - jnp.abs(nz) - nz,
+                _limit_violation(scene, s) - jnp.abs(nz) - nz,
+            ]
+        )
+        mact = jnp.concatenate([act, all_lim])
+        z, ok = lcp.lcp_fast(MM, qq, mact)
+        z2, _ = lcp.lcp_lemke_regularized(MM, qq, mact)
         z = jnp.where(ok, z, z2)
+        zc = z[: scene.n_contacts]
+        zl = z[scene.n_contacts :]
 
-        # generalized displacement dq = inv(M) Cn' z
-        wrench = jnp.einsum("kbi,k->bi", p.Jn, z)
-        dv6 = jnp.einsum("bij,bj->bi", p.Minv, wrench)
-        newpos = pos + dv6[:, 0:3]
-        newquat = quat.normalize(quat_b + quat.deriv(quat_b, dv6[:, 3:6]))
-        return newpos, newquat, it + 1
+        # generalized displacement dq = inv(M) [Cn' L'] z at position level
+        dv = p.Minv @ (p.Jn.T @ zc + p.Jl.T @ zl)
+        nb = scene.nb
+        if nb:
+            dvb = dv[: 6 * nb].reshape(nb, 6)
+            newpos = s.pos + dvb[:, :3]
+            newquat = quat.normalize(s.quat + quat.deriv(s.quat, dvb[:, 3:]))
+            s = s.replace(pos=newpos, quat=newquat)
+        if scene.nv_art:
+            from .stepper import integrate_art_q
 
-    pos, quat_b, _ = jax.lax.while_loop(
-        cond, body, (st.pos, st.quat, jnp.array(0, jnp.int32))
-    )
-    return st.replace(pos=pos, quat=quat_b)
+            s = s.replace(
+                q_art=integrate_art_q(scene, s.q_art, dv[6 * nb :], 1.0)
+            )
+        return s, it + 1
+
+    st_f, _ = jax.lax.while_loop(cond, body, (st, jnp.array(0, jnp.int32)))
+    return st_f

@@ -5,25 +5,23 @@ Pure-functional, jittable mirror of the reference's live stepper
 src/TimeSteppingSimulator.cpp:52-222):
 
   step(dt):
-    pairwise distances
     while h < dt:  do_mini_step(dt-h)           [lax.while_loop]
     constraint stabilization                    [see stabilization.py]
 
   do_mini_step(Δ):
     save q
     while h < Δ:                                [lax.while_loop]
-      CA = conservative advancement bound       (CCD::calc_CA_Euler_step)
-      if CA <= 0: break
-      tc = min(Δ-h, max(min_step_size, CA))
+      CA = conservative advancement bound       (CCD::calc_CA_Euler_step +
+      if CA <= 0: break                          joint-limit ETAs,
+      tc = min(Δ-h, max(min_step_size, CA))      TimeSteppingSimulator:272-331)
       q  = qsave + qd_euler·(h+tc)              (position from saved coords,
       h += tc                                    Euler velocity at qsave)
-    a = fwd_dyn(q, v)                           (gravity + gyroscopic)
-    v += a·h ;  dissipation
+    a = fwd_dyn(q, v)                           (free bodies: Newton-Euler;
+    v += a·h ;  dissipation                      articulated: Featherstone ABA)
     find contacts at q;  impact handler         [impact.resolve_impacts]
 
-Everything is fixed-shape; the dynamic trip counts of the two while loops are
-data-dependent exactly like the reference (bounded by iteration caps for
-safety). Scenario batching: `jax.vmap(lambda s: step(scene, s, dt))`.
+Everything is fixed-shape; the two while loops have data-dependent trip counts
+exactly like the reference (safety-capped). Batch scenarios with `jax.vmap`.
 """
 
 from __future__ import annotations
@@ -35,19 +33,21 @@ import jax.numpy as jnp
 
 from .. import config as cfg
 from ..core import scene as sc
+from ..dynamics import aba as art_dyn
+from ..dynamics import model as amdl
 from ..geometry import narrowphase as nph
 from ..math import quaternion as quat
 from . import impact
+from . import kinematics
 from . import stabilization
 
 MAX_MINI_STEPS = 64
 MAX_CA_ITERS = 32
 
 
-def forward_dynamics(scene: sc.Scene, quat_b, omega):
-    """Accelerations from gravity + gyroscopic moment (Newton-Euler in the
-    world-aligned COM frame; Ravelin RigidBodyd::calc_fwd_dyn equivalent).
-    """
+def forward_dynamics_free(scene: sc.Scene, quat_b, omega):
+    """Free-body accelerations: gravity + gyroscopic moment (Ravelin
+    RigidBodyd::calc_fwd_dyn equivalent, world-aligned COM frame)."""
     live = scene.enabled & (scene.mass > 0)
     a_lin = jnp.where(live[:, None], scene.gravity[None, :], 0.0)
     R = quat.to_matrix(quat_b)
@@ -59,58 +59,105 @@ def forward_dynamics(scene: sc.Scene, quat_b, omega):
     return a_lin, a_ang
 
 
-def _body_dir_speed(scene, vel, omega, n, b):
-    """Max speed of body b's surface along direction n:
-    n·v + ||ω × n||·rmax (reference CCD::calc_max_dist, src/CCD.cpp:585-607)."""
-    v = vel[b]
-    w = omega[b]
-    sp = jnp.sum(n * v, axis=-1) + jnp.linalg.norm(
-        jnp.cross(w, n), axis=-1
-    ) * scene.rmax[b]
-    return jnp.where(scene.enabled[b], sp, 0.0)
+def articulated_qdd(scene: sc.Scene, st: sc.State, tau=None):
+    """Joint accelerations of every articulated body (`fdyn-algorithm fsab`)."""
+    if scene.nv_art == 0:
+        return jnp.zeros(0, st.pos.dtype)
+    parts = []
+    for ent in scene.arts:
+        m = ent.model
+        q = st.q_art[ent.q_off : ent.q_off + m.nq]
+        qd = st.qd_art[ent.v_off : ent.v_off + m.nv]
+        t = (
+            tau[ent.v_off : ent.v_off + m.nv]
+            if tau is not None
+            else jnp.zeros(m.nv, q.dtype)
+        )
+        parts.append(art_dyn.aba(m, q, qd, t, scene.gravity))
+    return jnp.concatenate(parts)
 
 
-def ca_euler_step(scene: sc.Scene, pos, quat_b, vel, omega, min_dist_obs):
-    """Conservative-advancement bound over all pairs
-    (CCD::calc_CA_Euler_step, src/CCD.cpp:122-236) and the per-pair worst
-    penetration bookkeeping (_min_dist_observed).
+def integrate_art_q(scene: sc.Scene, q_art, qd_art, h):
+    """Euler-coordinate position integration per joint type (the reference's
+    eEuler coordinates: quaternion joints integrate via quaternion derivative)."""
+    if scene.nq_art == 0:
+        return q_art
+    out = q_art
+    for ent in scene.arts:
+        m = ent.model
+        for i in range(m.nl):
+            t = m.jtype[i]
+            qo = ent.q_off + m.q_off[i]
+            vo = ent.v_off + m.v_off[i]
+            if t in (amdl.REVOLUTE, amdl.PRISMATIC):
+                out = out.at[qo].add(qd_art[vo] * h)
+            elif t == amdl.UNIVERSAL:
+                out = out.at[qo : qo + 2].add(qd_art[vo : vo + 2] * h)
+            elif t == amdl.PLANAR:
+                out = out.at[qo : qo + 3].add(qd_art[vo : vo + 3] * h)
+            elif t == amdl.SPHERICAL:
+                qq = q_art[qo : qo + 4]
+                w = qd_art[vo : vo + 3]
+                qq2 = quat.normalize(qq + quat.deriv(qq, w) * h)
+                out = out.at[qo : qo + 4].set(qq2)
+            elif t == amdl.FLOATING:
+                pos = q_art[qo : qo + 3]
+                qq = q_art[qo + 3 : qo + 7]
+                # floating joint qd: [ω_base; v_base] in base coords -> world
+                wv = qd_art[vo : vo + 6]
+                Rb = quat.to_matrix(qq)
+                w_w = Rb @ wv[:3]
+                v_w = Rb @ wv[3:]
+                out = out.at[qo : qo + 3].set(pos + v_w * h)
+                qq2 = quat.normalize(qq + quat.deriv(qq, w_w) * h)
+                out = out.at[qo + 3 : qo + 7].set(qq2)
+    return out
 
-    Returns (min step, updated min_dist_obs).
-    """
-    dtype = pos.dtype
+
+def _slot_dir_speed(scene, pt, n, s):
+    """Max surface speed of pose slot s along direction n:
+    n·v + ||ω × n||·rmax (CCD::calc_max_dist, src/CCD.cpp:585-607)."""
+    sp = jnp.sum(n * pt.vel[s], axis=-1) + jnp.linalg.norm(
+        jnp.cross(pt.omega[s], n), axis=-1
+    ) * scene.slot_rmax[s]
+    return jnp.where(scene.slot_enabled[s], sp, 0.0)
+
+
+def ca_euler_step(scene: sc.Scene, st, pt, min_dist_obs):
+    """Conservative-advancement bound over all pairs + joint-limit ETAs
+    (calc_next_CA_Euler_step, TimeSteppingSimulator.cpp:272-331;
+    CCD::calc_CA_Euler_step, src/CCD.cpp:122-236)."""
+    dtype = pt.pos.dtype
     nz = cfg.near_zero(dtype)
     INF = jnp.inf
 
-    pd, con = nph.narrow_phase(scene, pos, quat_b, jnp.asarray(nz, dtype))
+    if scene.n_pairs == 0:
+        min_step = jnp.asarray(INF, dtype)
+        return _limit_eta(scene, st, min_step), min_dist_obs
+
+    pd, con = nph.narrow_phase(scene, pt.pos, pt.quat, jnp.asarray(nz, dtype))
     dist = pd.dist
 
-    # update worst observed penetration (reset when separated)
     mdo = jnp.where(dist >= 0.0, 0.0, jnp.minimum(min_dist_obs, dist))
 
-    g1b = scene.geom_body[scene.pair_g1]
-    g2b = scene.geom_body[scene.pair_g2]
+    g1s = scene.geom_slot[scene.pair_g1]
+    g2s = scene.geom_slot[scene.pair_g2]
 
-    # ---- generic bound for separated pairs
     d0 = pd.pa - pd.pb
     d0n = jnp.linalg.norm(d0, axis=-1)
     n0 = d0 / jnp.maximum(d0n, 1e-30)[..., None]
     dist_eff = jnp.where(dist < 0.0, nz + (dist - mdo), dist)
-    spA = _body_dir_speed(scene, vel, omega, -n0, g1b)
-    spB = _body_dir_speed(scene, vel, omega, n0, g2b)
+    spA = _slot_dir_speed(scene, pt, -n0, g1s)
+    spB = _slot_dir_speed(scene, pt, n0, g2s)
     total = jnp.maximum(spA + spB, 0.0)
     step_generic = jnp.where(total > 0.0, dist_eff / total, INF)
 
-    # ---- touching-pair logic (dist <= 0): contact-point normal velocities
-    # per-slot normal velocity
-    cnv, _, _ = impact.contact_velocities(scene, pos, vel, omega, con)
+    cnv, _, _ = impact.contact_velocities(scene, pt, con)
     slot_pair = scene.slot_pair
-    touch_tol = nz
-    slot_touch = con.active  # slots with sdist <= NEAR_ZERO for this purpose
-    # per-pair: any touching contact approaching (cvel < -NEAR_ZERO) -> 0 step
+    slot_touch = con.active
     approaching = jnp.zeros(scene.n_pairs, bool).at[slot_pair].max(
-        slot_touch & (cnv < -touch_tol)
+        slot_touch & (cnv < -nz)
     )
-    # per-pair contact count and |cvel| of the first contact (sphere shortcut)
     ncon = jnp.zeros(scene.n_pairs, jnp.int32).at[slot_pair].add(
         slot_touch.astype(jnp.int32)
     )
@@ -118,7 +165,6 @@ def ca_euler_step(scene: sc.Scene, pos, quat_b, vel, omega, min_dist_obs):
         jnp.where(slot_touch, jnp.abs(cnv), 0.0)
     )
 
-    # sphere-involved pairs (kinds SS, SP, BS): resting single contact -> INF
     kind = scene.pair_kind
     is_sphereish = (
         (kind == sc.K_SPHERE_SPHERE)
@@ -128,113 +174,128 @@ def ca_euler_step(scene: sc.Scene, pos, quat_b, vel, omega, min_dist_obs):
     sphere_rest = (
         is_sphereish & (dist <= nz) & (ncon == 1) & (max_abs_cvel < nz * 10)
     )
-
-    # non-sphere touching pairs: >=3 touching contacts (a face) and none
-    # approaching -> INF (calc_next_CA_Euler_step_generic 2-simplex test)
     face_rest = (~is_sphereish) & (dist <= 0.0) & (ncon >= 3) & ~approaching
 
     step_pair = step_generic
-    # dist <= 0 and approaching -> 0
     step_pair = jnp.where((dist <= 0.0) & approaching, 0.0, step_pair)
-    # resting cases -> INF
     step_pair = jnp.where(sphere_rest | face_rest, INF, step_pair)
-    # touching non-sphere, not approaching, <3 contacts: vertex-sweep bound
-    # (calc_next_CA_Euler_step_polyhedron_plane) — conservatively INF for now
     step_pair = jnp.where(
         (~is_sphereish) & (dist <= 0.0) & ~approaching & (ncon < 3),
         jnp.where(step_pair <= 0.0, INF, step_pair),
         step_pair,
     )
-    # sphere pairs touching, not resting, not approaching (receding): generic
-    sphere_touch_rec = (
-        is_sphereish & (dist <= 0.0) & ~sphere_rest & ~approaching
-    )
+    sphere_touch_rec = is_sphereish & (dist <= 0.0) & ~sphere_rest & ~approaching
     step_pair = jnp.where(sphere_touch_rec, INF, step_pair)
 
-    return jnp.min(jnp.concatenate([step_pair, jnp.array([INF], dtype)])), mdo
+    min_step = jnp.min(jnp.concatenate([step_pair, jnp.array([INF], dtype)]))
+    return _limit_eta(scene, st, min_step), mdo
 
 
-class MiniStepCarry(NamedTuple):
+def _limit_eta(scene, st, min_step):
+    """Joint-limit ETAs (TimeSteppingSimulator::calc_next_CA_Euler_step:280-307)."""
+    if scene.n_limits == 0:
+        return min_step
+    INF = jnp.inf
+    q = st.q_art[scene.lim_q_idx]
+    qd = st.qd_art[scene.lim_gc_col - 6 * scene.nb]
+    up = scene.lim_upper
+    t_up = jnp.where(
+        up & (q < scene.lim_value) & (qd > 0.0),
+        (scene.lim_value - q) / jnp.where(qd != 0, qd, 1.0),
+        INF,
+    )
+    t_lo = jnp.where(
+        (~up) & (q > scene.lim_value) & (qd < 0.0),
+        (scene.lim_value - q) / jnp.where(qd != 0, qd, 1.0),
+        INF,
+    )
+    return jnp.minimum(min_step, jnp.min(jnp.minimum(t_up, t_lo)))
+
+
+class MiniCarry(NamedTuple):
     pos: jnp.ndarray
     quat: jnp.ndarray
+    q_art: jnp.ndarray
     h: jnp.ndarray
     brk: jnp.ndarray
     mdo: jnp.ndarray
     iters: jnp.ndarray
 
 
-def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem):
-    """One `do_mini_step` (src/TimeSteppingSimulator.cpp:114-222). Returns the
-    advanced state and the stepped time h."""
+def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
+    """One `do_mini_step` (src/TimeSteppingSimulator.cpp:114-222)."""
     dtype = st.pos.dtype
-    pos0, quat0 = st.pos, st.quat
-    vel, omega = st.vel, st.omega
+    pos0, quat0, qart0 = st.pos, st.quat, st.q_art
 
-    # Euler-coordinate velocity at the saved coords (qdot at qsave)
-    qdot = quat.deriv(quat0, omega)
+    qdot = quat.deriv(quat0, st.omega)
 
-    def ca_cond(c: MiniStepCarry):
+    def ca_cond(c: MiniCarry):
         return (~c.brk) & (c.h < dt_rem) & (c.iters < MAX_CA_ITERS)
 
-    def ca_body(c: MiniStepCarry):
-        ca, mdo = ca_euler_step(scene, c.pos, c.quat, vel, omega, c.mdo)
+    def ca_body(c: MiniCarry):
+        st_c = st.replace(pos=c.pos, quat=c.quat, q_art=c.q_art)
+        pt = kinematics.compute(scene, st_c)
+        ca, mdo = ca_euler_step(scene, st_c, pt, c.mdo)
         brk = ca <= 0.0
         tc = jnp.maximum(scene.min_step_size, ca)
         tc = jnp.minimum(dt_rem - c.h, tc)
-        newpos = pos0 + vel * (c.h + tc)
+        newpos = pos0 + st.vel * (c.h + tc)
         newquat = quat.normalize(quat0 + qdot * (c.h + tc))
-        return MiniStepCarry(
+        newq = integrate_art_q(scene, qart0, st.qd_art, c.h + tc)
+        return MiniCarry(
             pos=jnp.where(brk, c.pos, newpos),
             quat=jnp.where(brk, c.quat, newquat),
+            q_art=jnp.where(brk, c.q_art, newq),
             h=jnp.where(brk, c.h, c.h + tc),
             brk=brk,
             mdo=mdo,
             iters=c.iters + 1,
         )
 
-    init = MiniStepCarry(
-        pos=pos0,
-        quat=quat0,
-        h=jnp.zeros((), dtype),
-        brk=jnp.array(False),
-        mdo=st.min_dist_obs,
-        iters=jnp.array(0, jnp.int32),
+    init = MiniCarry(
+        pos=pos0, quat=quat0, q_art=qart0,
+        h=jnp.zeros((), dtype), brk=jnp.array(False),
+        mdo=st.min_dist_obs, iters=jnp.array(0, jnp.int32),
     )
     c = jax.lax.while_loop(ca_cond, ca_body, init)
-    pos, quat_b, h = c.pos, c.quat, c.h
+    st2 = st.replace(pos=c.pos, quat=c.quat, q_art=c.q_art, min_dist_obs=c.mdo)
+    h = c.h
 
     # forward dynamics + semi-implicit velocity update
-    a_lin, a_ang = forward_dynamics(scene, quat_b, omega)
-    vel = vel + a_lin * h
-    omega = omega + a_ang * h
+    tau = None
+    if controller is not None:
+        tau = controller(scene, st2)
+    a_lin, a_ang = forward_dynamics_free(scene, st2.quat, st2.omega)
+    vel = st2.vel + a_lin * h
+    omega = st2.omega + a_ang * h
+    qdd = articulated_qdd(scene, st2, tau)
+    qd_art = st2.qd_art + qdd * h
 
-    # dissipation (src/Dissipation.cpp:30-55): velocity decay per body
+    # dissipation (src/Dissipation.cpp:30-55)
     lam = scene.dissipation_lambda[:, None]
     vel = vel * lam
     omega = omega * lam
 
-    # contacts at the new configuration
-    _, con = nph.narrow_phase(scene, pos, quat_b, scene.contact_dist_thresh)
+    st2 = st2.replace(vel=vel, omega=omega, qd_art=qd_art)
 
-    res = impact.resolve_impacts(
-        scene, pos, quat_b, vel, omega, con, st.zlast, st.zlast_active
-    )
+    # contacts at the new configuration + impact resolution
+    if scene.n_contacts or scene.n_limits:
+        pt = kinematics.compute(scene, st2)
+        _, con = nph.narrow_phase(
+            scene, pt.pos, pt.quat, scene.contact_dist_thresh
+        )
+        res = impact.resolve_impacts(
+            scene, st2, pt, con, st.zlast, st.zlast_active
+        )
+        st2 = kinematics.apply_gc_velocity_delta(scene, st2, res.dv)
+        st2 = st2.replace(zlast=res.zlast, zlast_active=res.zlast_active)
 
-    new_state = sc.State(
-        pos=pos,
-        quat=quat_b,
-        vel=res.vel,
-        omega=res.omega,
-        time=st.time + h,
-        zlast=res.zlast,
-        zlast_active=res.zlast_active,
-        min_dist_obs=c.mdo,
-    )
-    return new_state, h
+    st2 = st2.replace(time=st.time + h)
+    return st2, h
 
 
-def step(scene: sc.Scene, st: sc.State, dt) -> sc.State:
-    """One full simulator step of size dt (TimeSteppingSimulator::step)."""
+def step(scene: sc.Scene, st: sc.State, dt, controller=None) -> sc.State:
+    """One full simulator step (TimeSteppingSimulator::step)."""
     dtype = st.pos.dtype
     dt = jnp.asarray(dt, dtype)
 
@@ -244,9 +305,7 @@ def step(scene: sc.Scene, st: sc.State, dt) -> sc.State:
 
     def body(carry):
         st_c, h_total, iters = carry
-        st_n, h = do_mini_step(scene, st_c, dt - h_total)
-        # guard: a zero mini-step that failed to resolve would spin forever;
-        # force the remaining time on the last allowed iteration
+        st_n, h = do_mini_step(scene, st_c, dt - h_total, controller)
         return st_n, h_total + h, iters + 1
 
     st_f, h_total, _ = jax.lax.while_loop(
@@ -257,11 +316,11 @@ def step(scene: sc.Scene, st: sc.State, dt) -> sc.State:
     return st_f
 
 
-def rollout(scene: sc.Scene, st: sc.State, dt, n_steps: int):
-    """scan a trajectory; returns (final state, stacked states)."""
+def rollout(scene: sc.Scene, st: sc.State, dt, n_steps: int, controller=None):
+    """scan a trajectory; returns (final state, stacked (pos, quat, q_art))."""
 
     def f(s, _):
-        s2 = step(scene, s, dt)
-        return s2, (s2.pos, s2.quat)
+        s2 = step(scene, s, dt, controller)
+        return s2, (s2.pos, s2.quat, s2.q_art)
 
     return jax.lax.scan(f, st, None, length=n_steps)
