@@ -55,11 +55,35 @@ def main(argv=None):
     scene, st, opts = mobyxml.load(xml_path)
     dt = step_size if step_size is not None else opts.step_size
 
-    # bodies sorted alphabetically; only enabled bodies have coordinates
-    order = sorted(
-        (i for i in range(scene.nb) if bool(scene.enabled[i])),
-        key=lambda i: scene.body_names[i],
-    )
+    # bodies sorted alphabetically by id; only enabled bodies have
+    # generalized coordinates (programs/regress.cpp:80-92). Articulated
+    # bodies emit Euler coordinates: joint coords then (floating) base pose.
+    entries = [
+        ("free", i, scene.body_names[i])
+        for i in range(scene.nb)
+        if bool(scene.enabled[i])
+    ]
+    for ent in scene.arts:
+        entries.append(("art", ent, ent.name))
+    entries.sort(key=lambda e: e[2])
+
+    from ..dynamics import model as amdl
+
+    def art_coords(ent, s):
+        m = ent.model
+        q = np.asarray(s.q_art[ent.q_off : ent.q_off + m.nq])
+        vals = []
+        base = None
+        for i in range(m.nl):
+            t = m.jtype[i]
+            o = m.q_off[i]
+            if t == amdl.FLOATING:
+                base = q[o : o + 7]
+            elif amdl.NQ[t]:
+                vals.extend(q[o : o + amdl.NQ[t]].tolist())
+        if base is not None:
+            vals.extend(base.tolist())
+        return vals
 
     step_j = jax.jit(lambda s: stepper.step(scene, s, dt))
 
@@ -68,9 +92,12 @@ def main(argv=None):
 
         def writeline(s):
             vals = [float(s.time)]
-            for i in order:
-                vals.extend(np.asarray(s.pos[i]).tolist())
-                vals.extend(np.asarray(s.quat[i]).tolist())
+            for kind, ref, _name in entries:
+                if kind == "free":
+                    vals.extend(np.asarray(s.pos[ref]).tolist())
+                    vals.extend(np.asarray(s.quat[ref]).tolist())
+                else:
+                    vals.extend(art_coords(ref, s))
             f.write(" ".join(f"{v:g}" for v in vals) + "\n")
 
         it = 0

@@ -151,6 +151,9 @@ class Scene:
     n_friction_rows: int = struct.field(pytree_node=False, default=0)
     n_limits: int = struct.field(pytree_node=False, default=0)
     vmax: int = struct.field(pytree_node=False, default=0)
+    # all contacts have mu >= 100 -> the no-slip MLCP model
+    # (ImpactConstraintHandler::apply_model's `all_inf` branch, :123-131)
+    use_noslip: bool = struct.field(pytree_node=False, default=False)
     arts: Any = struct.field(pytree_node=False, default=())      # tuple[ABEntry]
     kind_groups: Any = struct.field(pytree_node=False, default=None)
     body_names: Any = struct.field(pytree_node=False, default=None)
@@ -604,6 +607,7 @@ class SceneBuilder:
             n_friction_rows=NF,
             n_limits=NL,
             vmax=vmax,
+            use_noslip=bool(K > 0 and all(m >= 1e2 for m in s_mu_c)),
             arts=tuple(art_entries),
             kind_groups=kind_groups,
             body_names=tuple(b.name for b in self.bodies),

@@ -55,6 +55,7 @@ class JointDef:
     axis2: np.ndarray = None     # (3,) second axis (universal)
     lo: np.ndarray = None        # lower limit(s)
     hi: np.ndarray = None        # upper limit(s)
+    restitution: float = 0.0     # limit restitution (Moby `restitution-coeff`)
     name: str = ""
 
 

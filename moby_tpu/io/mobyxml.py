@@ -14,12 +14,14 @@ reference's RCArticulatedBody tags and land with the articulated engine.
 from __future__ import annotations
 
 import math
+import os
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 
 import numpy as np
 
 from ..core import scene as sc
+from ..dynamics import model as amdl
 
 
 @dataclass
@@ -151,6 +153,7 @@ def load(path: str):
     gravity = np.zeros(3)
     gravity_ids = set()
     bodies_xml = {}
+    abs_xml = {}
     sim_el = None
 
     for el in moby:
@@ -161,6 +164,8 @@ def load(path: str):
             gravity = _floats(el.get("accel", "0 0 0"))
         elif el.tag == "RigidBody":
             bodies_xml[el.get("id")] = el
+        elif el.tag == "RCArticulatedBody":
+            abs_xml[el.get("id")] = el
         elif el.tag in ("TimeSteppingSimulator", "Simulator", "EventDrivenSimulator"):
             sim_el = el
 
@@ -184,8 +189,10 @@ def load(path: str):
     for bid in body_ids:
         el = bodies_xml.get(bid)
         if el is None:
-            # may be an articulated body -> not yet supported here
-            raise ValueError(f"body {bid} not found (articulated not yet wired)")
+            if bid in abs_xml:
+                _build_articulated(b, abs_xml[bid], prims, path)
+                continue
+            raise ValueError(f"body {bid} not found")
         pos, quat = _pose_from_attrs(el)
         enabled = el.get("enabled", "true").lower() != "false"
         lv = _floats(el.get("linear-velocity", "0 0 0"))
@@ -261,6 +268,232 @@ def load(path: str):
 
     scene, state = b.compile()
     return scene, state, opts
+
+
+_JOINT_TAGS = {
+    "RevoluteJoint": amdl.REVOLUTE,
+    "PrismaticJoint": amdl.PRISMATIC,
+    "SphericalJoint": amdl.SPHERICAL,
+    "UniversalJoint": amdl.UNIVERSAL,
+    "FixedJoint": amdl.FIXED,
+    "PlanarJoint": amdl.PLANAR,
+}
+
+
+def _build_articulated(b, el, prims, xml_path):
+    """Build an RCArticulatedBody from Moby XML (inline links/joints or
+    `urdf-filename`; reference src/RCArticulatedBody.cpp load_from_xml +
+    src/URDFReader.cpp).
+
+    Inline convention: link poses and joint locations/axes are given in world
+    coordinates at the configured joint coordinates `q`. We re-root each
+    link's frame at its inboard joint (origin = joint location, orientation =
+    link orientation) and solve the fixed tree transform Xt from
+    XJ(q0) ∘ Xt = X_configured.
+    """
+    ab_name = el.get("id")
+    floating = el.get("floating-base", "false").lower() == "true"
+
+    urdf_file = el.get("urdf-filename")
+    if urdf_file:
+        from . import urdf as urdf_io
+
+        upath = os.path.join(os.path.dirname(os.path.abspath(xml_path)), urdf_file)
+        model, names, ugeoms = urdf_io.load(upath)
+        b.add_articulated(ab_name, model, link_names=names)
+        for g in ugeoms:
+            b.add_geom(f"{ab_name}/{g.link}", g.gtype, g.params, pos=g.pos, quat=g.quat)
+        return
+
+    translate = np.zeros(3)
+    if el.get("translate"):
+        translate = _floats(el.get("translate"))
+
+    # parse links
+    links = {}
+    link_order = []
+    for ch in el.findall("RigidBody"):
+        lid = ch.get("id")
+        pos, quat = _pose_from_attrs(ch)
+        pos = pos + translate
+        mass = 0.0
+        inertia = np.zeros((3, 3))
+        for ip in ch.findall("InertiaFromPrimitive"):
+            p = prims[ip.get("primitive-id")]
+            R = _quat_to_R(p.quat)
+            J = R @ p.inertia @ R.T
+            off = p.pos
+            J = J + p.mass * (np.dot(off, off) * np.eye(3) - np.outer(off, off))
+            inertia = inertia + J
+            mass += p.mass
+        geoms = []
+        for cg in ch.findall("CollisionGeometry"):
+            pid = cg.get("primitive-id")
+            if pid:
+                p = prims[pid]
+                gpos, gquat = _pose_from_attrs(cg, pos_key="relative-origin")
+                Rg = _quat_to_R(gquat)
+                geoms.append(
+                    (p.gtype, p.params, gpos + Rg @ p.pos, _quat_mul(gquat, p.quat), p.verts)
+                )
+        links[lid] = dict(
+            pos=pos, quat=quat, mass=mass, inertia=inertia, geoms=geoms,
+            lv=_floats(ch.get("linear-velocity", "0 0 0")),
+            av=_floats(ch.get("angular-velocity", "0 0 0")),
+        )
+        link_order.append(lid)
+
+    # parse joints
+    joints = []
+    for ch in el:
+        if ch.tag in _JOINT_TAGS:
+            joints.append(
+                dict(
+                    jtype=_JOINT_TAGS[ch.tag],
+                    location=_floats(ch.get("location", "0 0 0")) + translate,
+                    axis=_floats(ch.get("axis", "1 0 0")) if ch.get("axis") else np.array([1.0, 0, 0]),
+                    inboard=ch.get("inboard-link-id"),
+                    outboard=ch.get("outboard-link-id"),
+                    q=_floats(ch.get("q")) if ch.get("q") else None,
+                    qd=_floats(ch.get("qd")) if ch.get("qd") else None,
+                    lo=_floats(ch.get("lower-limits")) if ch.get("lower-limits") else None,
+                    hi=_floats(ch.get("upper-limits")) if ch.get("upper-limits") else None,
+                    restitution=float(ch.get("restitution-coeff", 0.0)),
+                )
+            )
+
+    # base = link that is never an outboard
+    outboards = {j["outboard"] for j in joints}
+    base_candidates = [l for l in link_order if l not in outboards]
+    if len(base_candidates) != 1:
+        raise ValueError(f"ambiguous base for {ab_name}: {base_candidates}")
+    base = base_candidates[0]
+
+    in_joints = {j["outboard"]: j for j in joints}
+    kids = {}
+    for j in joints:
+        kids.setdefault(j["inboard"], []).append(j["outboard"])
+
+    link_defs = []
+    parents = []
+    names = []
+    name_to_idx = {}
+    q0_list = []
+    qd0_list = []
+    # model frame per link: (R_m, p_m)
+    model_frames = {}
+
+    def base_linkdef():
+        lk = links[base]
+        Rb = _quat_to_R(lk["quat"])
+        if floating:
+            jd = amdl.JointDef(
+                jtype=amdl.FLOATING, Xt_E=np.eye(3), Xt_r=np.zeros(3), name="base"
+            )
+            q0_list.append(np.concatenate([lk["pos"], lk["quat"]]))
+            qd0_list.append(
+                np.concatenate([Rb.T @ lk["av"], Rb.T @ lk["lv"]])
+            )
+        else:
+            jd = amdl.JointDef(
+                jtype=amdl.FIXED, Xt_E=Rb.T, Xt_r=lk["pos"], name="base"
+            )
+        model_frames[base] = (Rb, lk["pos"])
+        return amdl.LinkDef(
+            name=base, mass=lk["mass"], com=np.zeros(3),
+            inertia_com=lk["inertia"] if np.any(lk["inertia"]) else np.eye(3) * 1e-12,
+            joint=jd,
+        )
+
+    link_defs.append(base_linkdef())
+    parents.append(-1)
+    names.append(base)
+    name_to_idx[base] = 0
+
+    def joint_mats(jtype, axis_j, q0, dtype=float):
+        """Numpy (EJ, rJ) of the joint transform at coordinates q0."""
+        if jtype == amdl.REVOLUTE:
+            th = q0[0]
+            K = np.array(
+                [[0, -axis_j[2], axis_j[1]], [axis_j[2], 0, -axis_j[0]], [-axis_j[1], axis_j[0], 0]]
+            )
+            R = np.eye(3) + math.sin(th) * K + (1 - math.cos(th)) * (K @ K)
+            return R.T, np.zeros(3)
+        if jtype == amdl.PRISMATIC:
+            return np.eye(3), axis_j * q0[0]
+        if jtype == amdl.FIXED:
+            return np.eye(3), np.zeros(3)
+        if jtype == amdl.SPHERICAL:
+            return _quat_to_R(q0[:4]).T, np.zeros(3)
+        if not np.any(np.asarray(q0, float)):
+            return np.eye(3), np.zeros(3)
+        raise ValueError(f"inline nonzero-q baking unimplemented for joint type {jtype}")
+
+    def add_subtree(lname):
+        for child in kids.get(lname, []):
+            j = in_joints[child]
+            lk = links[child]
+            Rp, pp = model_frames[lname]
+            Rc = _quat_to_R(lk["quat"])
+            L = j["location"]
+            nqj = amdl.NQ[j["jtype"]]
+            q0 = j["q"] if j["q"] is not None else np.zeros(max(nqj, 1))
+            if j["jtype"] == amdl.SPHERICAL and j["q"] is None:
+                q0 = np.array([0.0, 0, 0, 1.0])
+            a_j = Rc.T @ (j["axis"] / max(np.linalg.norm(j["axis"]), 1e-15))
+
+            E_conf = Rc.T @ Rp
+            r_conf = Rp.T @ (L - pp)
+            EJ, rJ = joint_mats(j["jtype"], a_j, q0)
+            Et = EJ.T @ E_conf
+            rt = r_conf - Et.T @ rJ
+
+            jd = amdl.JointDef(
+                jtype=j["jtype"],
+                Xt_E=Et,
+                Xt_r=rt,
+                axis=a_j,
+                lo=j["lo"],
+                hi=j["hi"],
+                restitution=j["restitution"],
+                name=child,
+            )
+            com = Rc.T @ (lk["pos"] - L)
+            link_defs.append(
+                amdl.LinkDef(
+                    name=child, mass=lk["mass"], com=com,
+                    inertia_com=lk["inertia"] if np.any(lk["inertia"]) else np.eye(3) * 1e-12,
+                    joint=jd,
+                )
+            )
+            parents.append(name_to_idx[lname])
+            names.append(child)
+            name_to_idx[child] = len(link_defs) - 1
+            model_frames[child] = (Rc, L)
+            if nqj:
+                q0_list.append(np.asarray(q0, float)[:nqj])
+                qd = j["qd"] if j["qd"] is not None else np.zeros(amdl.NV[j["jtype"]])
+                qd0_list.append(np.asarray(qd, float))
+            add_subtree(child)
+
+    add_subtree(base)
+
+    model = amdl.ArticulatedModel(link_defs, floating=floating)
+    model.set_parents(parents)
+    q0 = np.concatenate(q0_list) if q0_list else np.zeros(0)
+    qd0 = np.concatenate(qd0_list) if qd0_list else np.zeros(0)
+    b.add_articulated(ab_name, model, q0=q0, qd0=qd0, link_names=names)
+
+    # geometries: local pose in the model frame (origin at joint location)
+    for lname in names:
+        lk = links[lname]
+        Rm, pm = model_frames[lname]
+        off = Rm.T @ (lk["pos"] - pm)
+        for (gtype, params, gpos, gquat, verts) in lk["geoms"]:
+            b.add_geom(
+                f"{ab_name}/{lname}", gtype, params,
+                pos=off + gpos, quat=gquat, verts=verts,
+            )
 
 
 def _parse_mu(s):

@@ -1,0 +1,188 @@
+"""No-slip impact model (infinite Coulomb friction).
+
+Mirrors `ImpactConstraintHandler::apply_no_slip_model`
+(src/ImpactConstraintHandler.cpp:1009-1420), used when every contact in a
+group has mu_coulomb >= 100 (`apply_model` :123-131):
+
+MLCP with hard tangential constraints (S, T rows) condensed blockwise:
+
+    A = [M X'; X 0],  X = [S_sel; T_sel],  Y = X·inv(M)·X'
+    LCP over [cn; l]:  MM = Q·inv(M)·Q' − QX·Y^{-1}·QX'
+                       qq = [Cn_v; L_v] − QX·Y^{-1}·X·v
+
+with a greedy full-rank selection of S/T rows (one contact at a time, testing
+Cholesky success of the de-regularized Gram matrix — :1092-1145), `lcp_fast`
+with `lcp_lemke_regularized` fallback, and tangential impulses recovered as
+cs,ct = −Y^{-1}(X·v + X·inv(M)·Q'·[cn; l]).
+
+Restitution (the no-slip variant `apply_restitution(epd)`): cn,l scale by
+epsilon, cs,ct reset to zero; conditional second solve.
+
+TPU form: the greedy selection is a fori_loop over contact slots updating
+boolean masks (2 masked-Cholesky probes per slot); all solves are
+masked/fixed-shape.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import config as cfg
+from ..core import scene as sc
+from ..math.linalg import cholesky_ok, solve_spd_masked
+from ..solvers import lcp
+from .impact import (
+    Problem,
+    ImpactResult,
+    assemble_problem,
+    contact_velocities,
+    _active,
+)
+
+
+def _st_gram(p: Problem, sS, sT):
+    """Masked Gram matrix [[Css(S,S), Cst(S,T)], [., Ctt(T,T)]] as a (2K, 2K)
+    block with rows/cols [S slots; T slots]."""
+    K = p.Ass.shape[0]
+    top = jnp.concatenate([p.Ass, p.Ast], axis=1)
+    bot = jnp.concatenate([p.Ast.T, p.Att], axis=1)
+    G = jnp.concatenate([top, bot], axis=0)
+    mask = jnp.concatenate([sS, sT])
+    return G, mask
+
+
+def select_st_indices(p: Problem, act, near_zero):
+    """Greedy full-rank S/T row selection (reference :1092-1145)."""
+    K = p.Ass.shape[0]
+
+    def body(i, carry):
+        sS, sT = carry
+        eligible = act[i]
+
+        sS_try = sS.at[i].set(True & eligible)
+        G, m = _st_gram(p, sS_try, sT)
+        ok_s = cholesky_ok(G, mask=m, jitter=-near_zero)
+        sS = jnp.where(ok_s & eligible, sS_try, sS)
+
+        sT_try = sT.at[i].set(True & eligible)
+        G, m = _st_gram(p, sS, sT_try)
+        ok_t = cholesky_ok(G, mask=m, jitter=-near_zero)
+        sT = jnp.where(ok_t & eligible, sT_try, sT)
+        return sS, sT
+
+    sS0 = jnp.zeros(K, bool)
+    sT0 = jnp.zeros(K, bool)
+    return jax.lax.fori_loop(0, K, body, (sS0, sT0))
+
+
+def solve_noslip(scene: sc.Scene, p: Problem, act, act_lim, nz):
+    """One no-slip solve. Returns (cn, cs, ct, l, dv)."""
+    K = scene.n_contacts
+    NL = scene.n_limits
+    dtype = p.Ann.dtype
+
+    sS, sT = select_st_indices(p, act, nz)
+    G, gmask = _st_gram(p, sS, sT)
+
+    # Q·inv(M)·X' with X = [S; T]: rows [Cn; L] x cols [S slots; T slots]
+    QX_top = jnp.concatenate([p.Ans, p.Ant], axis=1)           # (K, 2K)
+    QX_bot = jnp.concatenate([p.Asl.T, p.Atl.T], axis=1)       # (NL, 2K)
+    QX = jnp.concatenate([QX_top, QX_bot], axis=0)             # (K+NL, 2K)
+    QX = QX * gmask[None, :]
+
+    # Y^{-1} applications via masked SPD solves
+    def Yinv(vec):
+        return solve_spd_masked(G, vec * gmask, gmask)
+
+    Xv = jnp.concatenate([p.Cs_v, p.Ct_v]) * gmask
+
+    # MM = Q iM Q' − QX Y^{-1} QX'
+    Qblocks = jnp.block([[p.Ann, p.Anl], [p.Anl.T, p.All]])
+    YinvQXT = jax.vmap(Yinv, in_axes=1, out_axes=1)(QX.T)      # (2K, K+NL)
+    MM = Qblocks - QX @ YinvQXT
+    qq = jnp.concatenate([p.Cn_v, p.L_v]) - QX @ Yinv(Xv)
+
+    vmask = jnp.concatenate([act, act_lim])
+    v_sol, ok = lcp.lcp_fast(MM, qq, vmask)
+    v2, _ = lcp.lcp_lemke_regularized(MM, qq, vmask)
+    v_sol = jnp.where(ok, v_sol, v2)
+
+    cn = v_sol[:K]
+    l = v_sol[K:]
+
+    # [cs; ct] on selected rows = −Y^{-1}(X v + X iM Q' [cn; l])
+    cs_ct = -(Yinv(Xv) + Yinv(QX.T @ v_sol))
+    cs = jnp.where(sS, cs_ct[:K], 0.0)
+    ct = jnp.where(sT, cs_ct[K:], 0.0)
+
+    dv = p.Minv @ (p.Jn.T @ cn + p.Js.T @ cs + p.Jt.T @ ct + p.Jl.T @ l)
+    return cn, cs, ct, l, dv
+
+
+def resolve_impacts_noslip(
+    scene: sc.Scene, st, pt, con, zlast, zlast_active
+) -> ImpactResult:
+    """Full no-slip pipeline (apply_no_slip_model_to_connected_constraints,
+    src/ImpactConstraintHandler.cpp:236-295)."""
+    dtype = st.pos.dtype
+    nz = cfg.near_zero(dtype)
+    K = scene.n_contacts
+
+    act, act_lim, cn_vel, lim_vel = _active(scene, st, pt, con, nz)
+    any_impact = jnp.any(act)
+    if scene.n_limits:
+        any_impact = any_impact | jnp.any(act_lim)
+
+    p = assemble_problem(scene, st, pt, con, act, act_lim)
+    cn1, cs1, ct1, l1, dv1 = solve_noslip(scene, p, act, act_lim, nz)
+
+    Cn_v1 = p.Cn_v + p.Ann @ cn1 + p.Ans @ cs1 + p.Ant @ ct1 + p.Anl @ l1
+    L_v1 = p.L_v + p.Anl.T @ cn1 + p.Asl.T @ cs1 + p.Atl.T @ ct1 + p.All @ l1
+    minv = _min_vel(Cn_v1, act, L_v1, act_lim)
+
+    # restitution: cn,l scale; cs,ct zero (apply_restitution(epd), :496-524)
+    cn2 = cn1 * scene.slot_eps
+    l2 = l1 * scene.lim_eps
+    changed = jnp.any(cn2 > nz)
+    if scene.n_limits:
+        changed = changed | jnp.any(l2 > nz)
+
+    dv2 = p.Minv @ (p.Jn.T @ cn2 + p.Jl.T @ l2)
+    Cn_v2 = Cn_v1 + p.Ann @ cn2 + p.Anl @ l2
+    L_v2 = L_v1 + p.Anl.T @ cn2 + p.All @ l2
+    minv_plus = _min_vel(Cn_v2, act, L_v2, act_lim)
+    need_resolve = changed & (minv_plus < 0.0) & (minv_plus < minv - nz)
+
+    p2 = p._replace(
+        Cn_v=Cn_v2,
+        Cs_v=p.Cs_v + p.Js @ (dv1 + dv2),
+        Ct_v=p.Ct_v + p.Jt @ (dv1 + dv2),
+        L_v=L_v2,
+    )
+    cn3, cs3, ct3, l3, dv3 = solve_noslip(scene, p2, act, act_lim, nz)
+
+    dv = jnp.where(
+        need_resolve, dv1 + dv2 + dv3, jnp.where(changed, dv1 + dv2, dv1)
+    )
+    dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
+    cn_total = jnp.where(
+        any_impact,
+        cn1 + jnp.where(changed, cn2, 0.0) + jnp.where(need_resolve, cn3, 0.0),
+        jnp.zeros(K, dtype),
+    )
+    za_out = jnp.where(any_impact, act, zlast_active)
+    return ImpactResult(dv, zlast, za_out, cn_total)
+
+
+def _min_vel(Cn_v, act, L_v, act_lim):
+    vals = jnp.concatenate(
+        [
+            jnp.where(act, Cn_v, jnp.inf),
+            jnp.where(act_lim, L_v, jnp.inf),
+            jnp.array([jnp.inf], Cn_v.dtype),
+        ]
+    )
+    return jnp.min(vals)

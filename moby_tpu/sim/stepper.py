@@ -284,9 +284,16 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
         _, con = nph.narrow_phase(
             scene, pt.pos, pt.quat, scene.contact_dist_thresh
         )
-        res = impact.resolve_impacts(
-            scene, st2, pt, con, st.zlast, st.zlast_active
-        )
+        if scene.use_noslip:
+            from . import noslip
+
+            res = noslip.resolve_impacts_noslip(
+                scene, st2, pt, con, st.zlast, st.zlast_active
+            )
+        else:
+            res = impact.resolve_impacts(
+                scene, st2, pt, con, st.zlast, st.zlast_active
+            )
         st2 = kinematics.apply_gc_velocity_delta(scene, st2, res.dv)
         st2 = st2.replace(zlast=res.zlast, zlast_active=res.zlast_active)
 
