@@ -1,0 +1,111 @@
+"""Differentiable contact dynamics step for MPC / trajectory optimization.
+
+The regression-faithful stepper (`sim.stepper.step`) has data-dependent
+while loops (conservative advancement, stabilization) that block reverse-mode
+AD. This module provides the MPC-grade step: fixed step size (no CA
+sub-stepping — MPC steps are small), one impact solve through the
+IFT-differentiable LCP (`solvers.difflcp`), no stabilization loop. Controls
+enter as generalized forces u (scene.ngc): wrenches on free bodies + joint
+torques on articulated dofs.
+
+This is the `f(x, u)` of the contact-implicit MPC north star
+(BASELINE.json): thousands of these batch per chip under `vmap`, shard over
+a TPU mesh, and differentiate end-to-end for iLQR/SQP.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import scene as sc
+from ..dynamics import aba as art_dyn
+from ..geometry import narrowphase as nph
+from ..math import quaternion as quat
+from ..sim import impact, kinematics
+from ..sim.stepper import forward_dynamics_free, integrate_art_q
+from ..solvers.difflcp import solve_lcp_diff
+
+
+def _diff_lcp(M, q, mask, z0):
+    return solve_lcp_diff(M, q, mask, z0), jnp.array(True)
+
+
+def dstep(scene: sc.Scene, st: sc.State, dt, u=None) -> sc.State:
+    """One differentiable step. u: optional (ngc,) generalized force."""
+    dtype = st.pos.dtype
+    dt = jnp.asarray(dt, dtype)
+
+    # position integration (semi-implicit: old velocities)
+    qdot = quat.deriv(st.quat, st.omega)
+    pos = st.pos + st.vel * dt
+    quat_b = quat.normalize(st.quat + qdot * dt)
+    q_art = integrate_art_q(scene, st.q_art, st.qd_art, dt)
+    st2 = st.replace(pos=pos, quat=quat_b, q_art=q_art)
+
+    # forward dynamics with controls
+    a_lin, a_ang = forward_dynamics_free(scene, st2.quat, st2.omega)
+    if u is not None and scene.nb:
+        ub = u[: 6 * scene.nb].reshape(scene.nb, 6)
+        a_lin = a_lin + scene.inv_mass[:, None] * ub[:, :3]
+        R = quat.to_matrix(st2.quat)
+        Iinv_w = R @ scene.inv_inertia @ jnp.swapaxes(R, -1, -2)
+        a_ang = a_ang + jnp.einsum("bij,bj->bi", Iinv_w, ub[:, 3:])
+    vel = st2.vel + a_lin * dt
+    omega = st2.omega + a_ang * dt
+
+    if scene.nv_art:
+        tau = u[6 * scene.nb :] if u is not None else None
+        parts = []
+        for ent in scene.arts:
+            m = ent.model
+            q = st2.q_art[ent.q_off : ent.q_off + m.nq]
+            qd = st2.qd_art[ent.v_off : ent.v_off + m.nv]
+            t = (
+                tau[ent.v_off : ent.v_off + m.nv]
+                if tau is not None
+                else jnp.zeros(m.nv, dtype)
+            )
+            parts.append(art_dyn.aba(m, q, qd, t, scene.gravity))
+        qd_art = st2.qd_art + jnp.concatenate(parts) * dt
+    else:
+        qd_art = st2.qd_art
+
+    lam = scene.dissipation_lambda[:, None]
+    st2 = st2.replace(vel=vel * lam, omega=omega * lam, qd_art=qd_art)
+
+    if scene.n_contacts or scene.n_limits:
+        pt = kinematics.compute(scene, st2)
+        _, con = nph.narrow_phase(
+            scene, pt.pos, pt.quat, scene.contact_dist_thresh
+        )
+        res = impact.resolve_impacts(
+            scene, st2, pt, con, st.zlast, st.zlast_active,
+            lcp_solver=_diff_lcp,
+        )
+        st2 = kinematics.apply_gc_velocity_delta(scene, st2, res.dv)
+        st2 = st2.replace(zlast=res.zlast, zlast_active=res.zlast_active)
+
+    return st2.replace(time=st.time + dt)
+
+
+def rollout(scene: sc.Scene, st: sc.State, us, dt):
+    """Differentiable rollout: us (H, ngc) -> (final state, per-step states)."""
+
+    def f(s, u):
+        s2 = dstep(scene, s, dt, u)
+        return s2, s2
+
+    return jax.lax.scan(f, st, us)
+
+
+def state_vector(scene: sc.Scene, st: sc.State):
+    """Flatten the dynamic state (positions + velocities) for costs."""
+    parts = []
+    if scene.nb:
+        parts += [st.pos.ravel(), st.quat.ravel(), st.vel.ravel(), st.omega.ravel()]
+    if scene.nq_art:
+        parts.append(st.q_art)
+    if scene.nv_art:
+        parts.append(st.qd_art)
+    return jnp.concatenate(parts)

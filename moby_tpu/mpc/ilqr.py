@@ -1,0 +1,151 @@
+"""iLQR trajectory optimizer over the differentiable contact dynamics.
+
+The contact-MPC outer loop of the north star (BASELINE.json): iterative LQR
+with Jacobians obtained by reverse-mode AD through `mpc.diffstep` (contact
+LCP included, via the IFT custom VJP), Riccati backward recursion with
+Levenberg-style regularization, and a backtracking forward line search.
+
+Everything is pure JAX: one `ilqr` call jits whole; batching scenarios is
+`vmap`; sharding across chips is `shard_map` over the scenario axis
+(see parallel.mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ILQRResult(NamedTuple):
+    us: jnp.ndarray       # (H, nu) optimized controls
+    xs: jnp.ndarray       # (H+1, nx) optimized trajectory
+    cost: jnp.ndarray     # () final cost
+    n_iters: jnp.ndarray
+
+
+def _rollout(f, x0, us):
+    def step(x, u):
+        x2 = f(x, u)
+        return x2, x2
+
+    _, xs = jax.lax.scan(step, x0, us)
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def _total_cost(cost, cost_final, xs, us):
+    c = jax.vmap(cost)(xs[:-1], us).sum()
+    return c + cost_final(xs[-1])
+
+
+def ilqr(
+    f: Callable,
+    cost: Callable,
+    cost_final: Callable,
+    x0: jnp.ndarray,
+    us0: jnp.ndarray,
+    n_iters: int = 10,
+    mu_init: float = 1e-6,
+    line_search_steps: int = 8,
+) -> ILQRResult:
+    """Minimize sum cost(x,u) + cost_final(xT) subject to x' = f(x, u).
+
+    f: (nx,), (nu,) -> (nx,) — differentiable dynamics.
+    """
+    H, nu = us0.shape
+    nx = x0.shape[0]
+    dtype = x0.dtype
+
+    fx_fn = jax.jacrev(f, argnums=0)
+    fu_fn = jax.jacrev(f, argnums=1)
+    cx_fn = jax.grad(cost, argnums=0)
+    cu_fn = jax.grad(cost, argnums=1)
+    cxx_fn = jax.hessian(cost, argnums=0)
+    cuu_fn = jax.hessian(cost, argnums=1)
+    cux_fn = jax.jacrev(jax.grad(cost, argnums=1), argnums=0)
+    vx_fn = jax.grad(cost_final)
+    vxx_fn = jax.hessian(cost_final)
+
+    def backward(xs, us, mu):
+        A = jax.vmap(fx_fn)(xs[:-1], us)      # (H, nx, nx)
+        B = jax.vmap(fu_fn)(xs[:-1], us)      # (H, nx, nu)
+        cx = jax.vmap(cx_fn)(xs[:-1], us)
+        cu = jax.vmap(cu_fn)(xs[:-1], us)
+        cxx = jax.vmap(cxx_fn)(xs[:-1], us)
+        cuu = jax.vmap(cuu_fn)(xs[:-1], us)
+        cux = jax.vmap(cux_fn)(xs[:-1], us)
+
+        Vx = vx_fn(xs[-1])
+        Vxx = vxx_fn(xs[-1])
+
+        def bstep(carry, inp):
+            Vx, Vxx, ok = carry
+            A_k, B_k, cx_k, cu_k, cxx_k, cuu_k, cux_k = inp
+            Qx = cx_k + A_k.T @ Vx
+            Qu = cu_k + B_k.T @ Vx
+            Qxx = cxx_k + A_k.T @ Vxx @ A_k
+            Quu = cuu_k + B_k.T @ Vxx @ B_k
+            Qux = cux_k + B_k.T @ Vxx @ A_k
+            Quu_reg = Quu + mu * jnp.eye(nu, dtype=dtype)
+            # solvability check via Cholesky
+            L = jnp.linalg.cholesky(Quu_reg)
+            ok_k = jnp.all(jnp.isfinite(L))
+            Quu_inv = jnp.linalg.inv(Quu_reg)
+            k = -Quu_inv @ Qu
+            K = -Quu_inv @ Qux
+            Vx2 = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
+            Vxx2 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+            Vxx2 = 0.5 * (Vxx2 + Vxx2.T)
+            return (Vx2, Vxx2, ok & ok_k), (k, K)
+
+        (_, _, ok), (ks, Ks) = jax.lax.scan(
+            bstep,
+            (Vx, Vxx, jnp.array(True)),
+            (A, B, cx, cu, cxx, cuu, cux),
+            reverse=True,
+        )
+        return ks, Ks, ok
+
+    def forward(xs, us, ks, Ks, alpha):
+        def fstep(x, inp):
+            x_ref, u_ref, k, K = inp
+            u = u_ref + alpha * k + K @ (x - x_ref)
+            x2 = f(x, u)
+            return x2, (x2, u)
+
+        _, (xs2, us2) = jax.lax.scan(fstep, xs[0], (xs[:-1], us, ks, Ks))
+        xs2 = jnp.concatenate([xs[0][None], xs2], axis=0)
+        return xs2, us2
+
+    def iteration(carry, _):
+        xs, us, cost_prev, mu = carry
+        ks, Ks, ok = backward(xs, us, mu)
+
+        def try_alpha(carry2, alpha):
+            best_cost, best_xs, best_us, found = carry2
+            xs2, us2 = forward(xs, us, ks, Ks, alpha)
+            c2 = _total_cost(cost, cost_final, xs2, us2)
+            better = (c2 < best_cost) & ~found
+            return (
+                jnp.where(better, c2, best_cost),
+                jnp.where(better, xs2, best_xs),
+                jnp.where(better, us2, best_us),
+                found | better,
+            ), None
+
+        alphas = 1.1 ** (-jnp.arange(line_search_steps, dtype=dtype) ** 2)
+        (c_new, xs_new, us_new, improved), _ = jax.lax.scan(
+            try_alpha, (cost_prev, xs, us, jnp.array(False)), alphas
+        )
+        mu_new = jnp.where(improved, jnp.maximum(mu / 2, 1e-8), mu * 10)
+        return (xs_new, us_new, c_new, mu_new), c_new
+
+    xs0 = _rollout(f, x0, us0)
+    c0 = _total_cost(cost, cost_final, xs0, us0)
+    (xs, us, c, _), _ = jax.lax.scan(
+        iteration, (xs0, us0, c0, jnp.asarray(mu_init, dtype)), None,
+        length=n_iters,
+    )
+    return ILQRResult(us=us, xs=xs, cost=c, n_iters=jnp.array(n_iters))

@@ -1,0 +1,94 @@
+"""Device-mesh scaling for batched contact simulation and MPC.
+
+The reference is single-process/single-thread (SURVEY.md §2.6); the scaling
+axes are native to this framework:
+
+* `scenario` — data-parallel axis: thousands of independent rollouts/MPC
+  solves batch per chip via `vmap` and shard across chips via `shard_map`
+  (ICI collectives within a slice, DCN across hosts).
+* future `solver` axis — large LCP blocks sharded with psum-reduced products.
+
+Helpers here build the mesh, shard batched States, and run
+sharded rollouts / MPC sweeps. Trajectories are shard-count invariant
+(each scenario is independent), which the multi-device test asserts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import scene as sc
+from ..sim import stepper
+
+
+def scenario_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), axis_names=("scenario",))
+
+
+def broadcast_state(st: sc.State, batch: int) -> sc.State:
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), st
+    )
+
+
+def shard_batch(mesh: Mesh, batched: sc.State) -> sc.State:
+    shard = jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, P("scenario", *([None] * (x.ndim - 1)))),
+        batched,
+    )
+    return jax.device_put(batched, shard)
+
+
+def sharded_rollout(scene: sc.Scene, mesh: Mesh, batched: sc.State, dt, n_steps):
+    """jit a batched rollout with scenario sharding constraints."""
+
+    @jax.jit
+    def run(states):
+        states = jax.lax.with_sharding_constraint(
+            states,
+            jax.tree_util.tree_map(
+                lambda x: NamedSharding(
+                    mesh, P("scenario", *([None] * (x.ndim - 1)))
+                ),
+                states,
+            ),
+        )
+
+        def f(s, _):
+            s2 = jax.vmap(lambda x: stepper.step(scene, x, dt))(s)
+            return s2, None
+
+        out, _ = jax.lax.scan(f, states, None, length=n_steps)
+        return out
+
+    return run(batched)
+
+
+def sharded_mpc_sweep(prob, batched_states, cost, cost_final, mesh, n_iters=8):
+    """Solve a batch of contact-MPC problems, sharded over scenarios."""
+    from ..mpc import contact_mpc
+
+    @jax.jit
+    def run(states):
+        states = jax.lax.with_sharding_constraint(
+            states,
+            jax.tree_util.tree_map(
+                lambda x: NamedSharding(
+                    mesh, P("scenario", *([None] * (x.ndim - 1)))
+                ),
+                states,
+            ),
+        )
+        return jax.vmap(
+            lambda s: contact_mpc.solve(prob, s, cost, cost_final, n_iters=n_iters)
+        )(states)
+
+    return run(batched_states)

@@ -293,11 +293,18 @@ def _min_constraint_vel(Cn_v, act, L_v, act_lim):
 
 
 def resolve_impacts(
-    scene: sc.Scene, st, pt: PoseTable, con: Contacts, zlast, zlast_active
+    scene: sc.Scene, st, pt: PoseTable, con: Contacts, zlast, zlast_active,
+    lcp_solver=None,
 ) -> ImpactResult:
     """Full impact pipeline for one step (QP model). Returns the gc velocity
     delta (zero when no constraint is impacting —
-    `calc_impacting_unilateral_constraint_forces` early-out)."""
+    `calc_impacting_unilateral_constraint_forces` early-out).
+
+    `lcp_solver(M, q, mask, z0) -> (z, ok)` defaults to the production
+    pivoting cascade; the MPC layer substitutes the IFT-differentiable solve.
+    """
+    if lcp_solver is None:
+        lcp_solver = lambda M, q, m, z0: lcp.solve_lcp(M, q, m, z0=z0)
     dtype = st.pos.dtype
     nz = cfg.near_zero(dtype)
     K = scene.n_contacts
@@ -311,7 +318,7 @@ def resolve_impacts(
     same = jnp.all(zlast_active == act) & jnp.any(zlast_active)
     z0 = jnp.where(same, zlast, jnp.zeros_like(zlast))
 
-    z, ok = lcp.solve_lcp(MM, qq, mask, z0=z0)
+    z, ok = lcp_solver(MM, qq, mask, z0)
     cn1, cs1, ct1, l1 = unstack_impulses(scene, z)
     dv1 = impulse_dv(scene, p, cn1, cs1, ct1, l1)
 
@@ -345,7 +352,7 @@ def resolve_impacts(
         L_v=L_v2,
     )
     MM2, qq2, _ = build_qp_lcp(scene, p2, act, act_lim)
-    z3, _ = lcp.solve_lcp(MM2, qq2, mask, z0=z)
+    z3, _ = lcp_solver(MM2, qq2, mask, z)
     cn3, cs3, ct3, l3 = unstack_impulses(scene, z3)
     dv3 = impulse_dv(scene, p2, cn3, cs3, ct3, l3)
 
