@@ -21,6 +21,7 @@ def main(argv=None):
     max_iter = float("inf")
     use_cpu = False
     pos_args = []
+    plugin = None
     for a in argv:
         if a.startswith("-s="):
             step_size = float(a[3:])
@@ -28,10 +29,12 @@ def main(argv=None):
             max_time = float(a[4:])
         elif a.startswith("-mi="):
             max_iter = int(a[4:])
+        elif a.startswith("-p="):
+            plugin = a[3:]
         elif a == "--cpu":
             use_cpu = True
         elif a.startswith("-"):
-            pass  # ignore unsupported flags (plugins, logging, ...)
+            pass  # ignore unsupported flags (logging, ...)
         else:
             pos_args.append(a)
     if len(pos_args) < 1:
@@ -52,7 +55,23 @@ def main(argv=None):
     from ..io import mobyxml
     from ..sim import stepper
 
-    scene, st, opts = mobyxml.load(xml_path)
+    # plugin scenes (the reference loads these via dlopen; here they are
+    # Python modules under moby_tpu.plugins with a build() entry)
+    _PLUGINS = {
+        "librimless-wheel-init.so": "rimless_wheel",
+        "rimless_wheel": "rimless_wheel",
+        "libcontact-constrained-pendulum-init.so": "cc_pendulum",
+        "cc_pendulum": "cc_pendulum",
+    }
+    if plugin is not None:
+        import importlib
+
+        mod = importlib.import_module(
+            f"moby_tpu.plugins.{_PLUGINS.get(plugin, plugin)}"
+        )
+        scene, st, opts = mod.build()
+    else:
+        scene, st, opts = mobyxml.load(xml_path)
     dt = step_size if step_size is not None else opts.step_size
 
     # bodies sorted alphabetically by id; only enabled bodies have

@@ -210,6 +210,7 @@ class GeomDef:
     pos: np.ndarray = None
     quat: np.ndarray = None
     verts: np.ndarray = None
+    rmax: float = None           # override for the CA motion-bound radius
 
 
 @dataclass
@@ -307,7 +308,8 @@ class SceneBuilder:
         self.arts.append(ab)
         return ab
 
-    def add_geom(self, body, gtype, params, pos=None, quat=None, verts=None):
+    def add_geom(self, body, gtype, params, pos=None, quat=None, verts=None,
+                 rmax=None):
         g = GeomDef(
             body=body,
             gtype=gtype,
@@ -315,6 +317,7 @@ class SceneBuilder:
             pos=np.zeros(3) if pos is None else np.asarray(pos, np.float64),
             quat=np.array([0, 0, 0, 1.0]) if quat is None else np.asarray(quat, np.float64),
             verts=verts,
+            rmax=rmax,
         )
         if g.gtype == BOX and g.verts is None:
             g.verts = box_vertices(*g.params[:3])
@@ -422,6 +425,11 @@ class SceneBuilder:
             s = geom_slot[i]
             off = np.linalg.norm(g.pos)
             t = g.gtype
+            if g.rmax is not None:
+                # explicit override (plugin geometries without a primitive
+                # have rmax 0 in the reference — CCD.cpp:739 never fills it)
+                slot_rmax[s] = max(slot_rmax[s], g.rmax)
+                continue
             if t == SPHERE:
                 r = off + g.params[0]
             elif t == BOX:

@@ -30,7 +30,9 @@ class DriverOptions:
 
 
 def _floats(s):
-    return np.array([float(x) for x in s.replace(",", " ").split()])
+    return np.array(
+        [float(x) for x in s.replace(",", " ").replace(";", " ").split()]
+    )
 
 
 def _rpy_quat(rpy):
@@ -135,8 +137,14 @@ def _quat_to_R(q):
     )
 
 
-def load(path: str):
-    """Read a Moby XML scene file -> (Scene, State, DriverOptions)."""
+def load(path: str, post_build=None):
+    """Read a Moby XML scene file -> (Scene, State, DriverOptions).
+
+    `post_build(builder)`: optional hook invoked before compilation — the
+    Python equivalent of the reference's dlopen'd `init` plugins
+    (programs/driver.cpp:307-352) for scenes whose geometry/controllers live
+    in a plugin .so.
+    """
     tree = ET.parse(path)
     root = tree.getroot()
     opts = DriverOptions()
@@ -236,6 +244,9 @@ def load(path: str):
         )
 
         for ch in el.findall("CollisionGeometry"):
+            if not ch.get("primitive-id"):
+                # geometry provided by a collision-detection plugin
+                continue
             p = prims[ch.get("primitive-id")]
             gpos, gquat = _pose_from_attrs(ch, pos_key="relative-origin")
             # compose geometry-relative pose with the primitive's own pose
@@ -265,6 +276,9 @@ def load(path: str):
 
     if sim_el.get("min-step-size"):
         b.min_step_size = float(sim_el.get("min-step-size"))
+
+    if post_build is not None:
+        post_build(b)
 
     scene, state = b.compile()
     return scene, state, opts
