@@ -48,6 +48,7 @@ CONE = 4
 TORUS = 5
 HEIGHTMAP = 6
 POLYHEDRON = 7
+NONE = 8          # ghost geometry: anchor for custom/plugin contact kernels
 
 # narrow-phase kind codes (mirrors CCD::find_contacts dispatch,
 # include/Moby/CCD.inl:3-81)
@@ -279,6 +280,16 @@ class SceneBuilder:
         self.contact_dist_thresh = 1e-6
         self.min_step_size = cfg.NEAR_ZERO_F64
         self.disabled_pairs: set[tuple[str, str]] = set()
+        # custom plugin contact kernels: (body1, body2, kernel, nslots)
+        self.custom_pairs: list = []
+
+    def add_custom_pair(self, body1, body2, kernel, nslots):
+        """Register a plugin narrow-phase kernel between two bodies (the
+        reference's CollisionDetectionPlugin mechanism). `kernel(scene,
+        pos_table, quat_table, pair_idx_array)` must return the same tuple as
+        the built-in kernels: (dist, pa, pb, points (P, nslots, 3), normals,
+        signed-dists (P, nslots))."""
+        self.custom_pairs.append((body1, body2, kernel, nslots))
 
     # ---------------- bodies / geoms ----------------
     def add_body(self, name, **kw) -> BodyDef:
@@ -401,27 +412,45 @@ class SceneBuilder:
 
         slot_enabled = np.concatenate([enabled, np.ones(total_links, bool)])
 
-        ng = len(self.geoms)
+        # materialize ghost geometries anchoring custom plugin pairs
+        all_geoms = list(self.geoms)
+        custom_rows = []
+        for (b1n, b2n, kern, nsl) in self.custom_pairs:
+            ga = len(all_geoms)
+            all_geoms.append(
+                GeomDef(body=b1n, gtype=NONE, params=np.zeros(1),
+                        pos=np.zeros(3), quat=np.array([0, 0, 0, 1.0]),
+                        rmax=0.0)
+            )
+            gb = len(all_geoms)
+            all_geoms.append(
+                GeomDef(body=b2n, gtype=NONE, params=np.zeros(1),
+                        pos=np.zeros(3), quat=np.array([0, 0, 0, 1.0]),
+                        rmax=0.0)
+            )
+            custom_rows.append((ga, gb, kern, nsl))
+
+        ng = len(all_geoms)
         geom_slot = np.array(
-            [slot_names[g.body] for g in self.geoms], np.int32
+            [slot_names[g.body] for g in all_geoms], np.int32
         ) if ng else np.zeros(0, np.int32)
-        geom_pos = np.stack([g.pos for g in self.geoms]).astype(dt) if ng else np.zeros((0, 3), dt)
-        geom_quat = np.stack([g.quat for g in self.geoms]).astype(dt) if ng else np.zeros((0, 4), dt)
+        geom_pos = np.stack([g.pos for g in all_geoms]).astype(dt) if ng else np.zeros((0, 3), dt)
+        geom_quat = np.stack([g.quat for g in all_geoms]).astype(dt) if ng else np.zeros((0, 4), dt)
         geom_params = np.zeros((ng, 4), dt)
-        for i, g in enumerate(self.geoms):
+        for i, g in enumerate(all_geoms):
             geom_params[i, : len(g.params)] = g.params
 
-        vmax = max([1] + [len(g.verts) for g in self.geoms if g.verts is not None])
+        vmax = max([1] + [len(g.verts) for g in all_geoms if g.verts is not None])
         geom_verts = np.zeros((ng, vmax, 3), dt)
         geom_nverts = np.zeros(ng, np.int32)
-        for i, g in enumerate(self.geoms):
+        for i, g in enumerate(all_geoms):
             if g.verts is not None:
                 geom_verts[i, : len(g.verts)] = g.verts
                 geom_nverts[i] = len(g.verts)
 
         # rmax per pose slot (reference CCD.cpp:739)
         slot_rmax = np.zeros(ns, dt)
-        for i, g in enumerate(self.geoms):
+        for i, g in enumerate(all_geoms):
             s = geom_slot[i]
             off = np.linalg.norm(g.pos)
             t = g.gtype
@@ -472,12 +501,19 @@ class SceneBuilder:
                 ni, nj = slot_cp_name(si), slot_cp_name(sj)
                 if tuple(sorted((ni, nj))) in self.disabled_pairs:
                     continue
-                ta, tb = self.geoms[i].gtype, self.geoms[j].gtype
+                ta, tb = all_geoms[i].gtype, all_geoms[j].gtype
                 kind, flip = self._pair_kind(ta, tb)
                 if kind is None:
                     continue
                 ga, gb = (j, i) if flip else (i, j)
                 pair_rows.append((ga, gb, kind))
+
+        # custom plugin pairs (negative-coded kinds)
+        custom_kernels = {}
+        for ci, (ga, gb, kern, nsl) in enumerate(custom_rows):
+            kind = -(ci + 1)
+            custom_kernels[kind] = (kern, nsl)
+            pair_rows.append((ga, gb, kind))
 
         n_pairs = len(pair_rows)
         pair_g1 = np.array([p[0] for p in pair_rows], np.int32)
@@ -490,7 +526,9 @@ class SceneBuilder:
         pair_slot0 = np.zeros(n_pairs, np.int32)
         pair_nslots = np.zeros(n_pairs, np.int32)
         for p, (ga, gb, kind) in enumerate(pair_rows):
-            nsl = _kind_nslots(kind, vmax)
+            nsl = (
+                custom_kernels[kind][1] if kind < 0 else _kind_nslots(kind, vmax)
+            )
             pair_slot0[p] = len(s_pair)
             pair_nslots[p] = nsl
             s1 = int(geom_slot[ga])
@@ -560,6 +598,7 @@ class SceneBuilder:
                     ]
                 ),
                 "nslots": int(pair_nslots[v[0]]),
+                **({"kernel": custom_kernels[k][0]} if k < 0 else {}),
             }
             for k, v in kind_groups.items()
         }

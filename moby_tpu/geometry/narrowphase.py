@@ -293,7 +293,10 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
         slots = grp["slots"]
         if len(pairs) == 0:
             continue
-        if kind == sc.K_PLANE_GENERIC:
+        if "kernel" in grp:
+            # custom plugin kernel (CollisionDetectionPlugin equivalent)
+            d, a, b, pts, nrm, sd = grp["kernel"](scene, pos, quat_b, pairs)
+        elif kind == sc.K_PLANE_GENERIC:
             d, a, b, pts, nrm, sd = _plane_generic(
                 scene, pos, quat_b, pairs, grp["nslots"]
             )
