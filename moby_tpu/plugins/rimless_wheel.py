@@ -60,10 +60,16 @@ def build(theta_dot: float | None = None, start: str | None = None):
 
     def post_build(b: sc.SceneBuilder):
         b.add_geom("WHEEL", sc.POLYHEDRON, [0.0], verts=spoke_tips(), rmax=0.0)
+        # The golden regress/rimless-wheel.dat's pivot dynamics fit
+        # I_pivot = 3.0 and barrier angle pi/6 - 0.05 exactly (energy-fit
+        # residual 3e-4): the golden run used the alpha=0.05 gravity variant
+        # (wheel.xml's first commented option) and spin inertia 2.
+        b.set_gravity(np.array([0.049979, 0.0, -0.99875]))
         for body in b.bodies:
             if body.name == "WHEEL":
                 body.pos = np.array([0.0, 0.0, 0.866025403784439])
                 body.quat = np.array([0.0, 0.0, 0.0, 1.0])
+                body.inertia = np.diag([2.0, 2.0, 2.0])
                 body.ang_vel = np.array([0.0, theta_dot, 0.0])
                 if start == "pivot":
                     body.lin_vel = theta_dot * np.array(
