@@ -156,6 +156,7 @@ class Scene:
     # (ImpactConstraintHandler::apply_model's `all_inf` branch, :123-131)
     use_noslip: bool = struct.field(pytree_node=False, default=False)
     arts: Any = struct.field(pytree_node=False, default=())      # tuple[ABEntry]
+    bilaterals: Any = struct.field(pytree_node=False, default=())  # tuple[Bilateral]
     kind_groups: Any = struct.field(pytree_node=False, default=None)
     body_names: Any = struct.field(pytree_node=False, default=None)
 
@@ -282,6 +283,21 @@ class SceneBuilder:
         self.disabled_pairs: set[tuple[str, str]] = set()
         # custom plugin contact kernels: (body1, body2, kernel, nslots)
         self.custom_pairs: list = []
+
+    def add_gear_constraint(self, ab_name, link_a, link_b, ratio):
+        """Gear ratio coupling between two 1-dof joints of an articulated
+        body (`Moby::Gears`, include/Moby/Gears.h:40-45): the OUTBOARD link
+        names identify the joints."""
+        self._gears = getattr(self, "_gears", [])
+        self._gears.append((ab_name, link_a, link_b, float(ratio)))
+
+    def add_point_constraint(self, body1, anchor1, body2, anchor2):
+        """Ball-joint loop constraint pinning two bodies' anchor points
+        (simulator-level implicit joints, src/Simulator.cpp:604-805)."""
+        self._points = getattr(self, "_points", [])
+        self._points.append(
+            (body1, np.asarray(anchor1, float), body2, np.asarray(anchor2, float))
+        )
 
     def add_custom_pair(self, body1, body2, kernel, nslots):
         """Register a plugin narrow-phase kernel between two bodies (the
@@ -585,6 +601,40 @@ class SceneBuilder:
                         lim_eps.append(getattr(jd, "restitution", 0.0) or 0.0)
         NL = len(lim_gc_col)
 
+        # bilateral implicit constraints
+        from ..sim.bilateral import Bilateral, GEAR, POINT
+
+        bilaterals = []
+        for (abn, la, lb, ratio) in getattr(self, "_gears", []):
+            k = [i for i, ab in enumerate(self.arts) if ab.name == abn][0]
+            ab = self.arts[k]
+            ent = art_entries[k]
+            m = ab.model
+            ia = ab.link_names.index(la)
+            ib = ab.link_names.index(lb)
+            bilaterals.append(
+                Bilateral(
+                    btype=GEAR,
+                    col_a=ent.gc_off + m.v_off[ia],
+                    col_b=ent.gc_off + m.v_off[ib],
+                    ratio=ratio,
+                    q_idx_a=ent.q_off + m.q_off[ia],
+                    q_idx_b=ent.q_off + m.q_off[ib],
+                    q0_a=float(ab.q0[m.q_off[ia]]),
+                    q0_b=float(ab.q0[m.q_off[ib]]),
+                )
+            )
+        for (b1n, a1, b2n, a2) in getattr(self, "_points", []):
+            bilaterals.append(
+                Bilateral(
+                    btype=POINT,
+                    slot_a=slot_names[b1n],
+                    slot_b=slot_names[b2n],
+                    anchor_a=tuple(a1),
+                    anchor_b=tuple(a2),
+                )
+            )
+
         kind_groups = {}
         for p, (_, _, kind) in enumerate(pair_rows):
             kind_groups.setdefault(int(kind), []).append(p)
@@ -656,6 +706,7 @@ class SceneBuilder:
             vmax=vmax,
             use_noslip=bool(K > 0 and all(m >= 1e2 for m in s_mu_c)),
             arts=tuple(art_entries),
+            bilaterals=tuple(bilaterals),
             kind_groups=kind_groups,
             body_names=tuple(b.name for b in self.bodies),
         )

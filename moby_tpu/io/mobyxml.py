@@ -498,6 +498,17 @@ def _build_articulated(b, el, prims, xml_path):
     qd0 = np.concatenate(qd0_list) if qd0_list else np.zeros(0)
     b.add_articulated(ab_name, model, q0=q0, qd0=qd0, link_names=names)
 
+    # gear couplings (Moby::Gears: +1 on the inboard link's joint coordinate,
+    # -ratio on the outboard link's — src/Gears.cpp:64-96)
+    for ch in el:
+        if ch.tag == "Gears":
+            b.add_gear_constraint(
+                ab_name,
+                ch.get("inboard-link-id"),
+                ch.get("outboard-link-id"),
+                float(ch.get("gear-ratio", 1.0)),
+            )
+
     # geometries: local pose in the model frame (origin at joint location)
     for lname in names:
         lk = links[lname]

@@ -75,12 +75,17 @@ def island_labels(scene: sc.Scene, active):
     both = scene.slot_enabled[s1] & scene.slot_enabled[s2] & active
     big = jnp.int32(ns)
 
-    # static AB cliques
+    # static AB cliques + bilateral-joint edges
     ab_ranges = []
     off = scene.nb
     for ent in scene.arts:
         ab_ranges.append((off, off + ent.model.nl))
         off += ent.model.nl
+    bi_edges = [
+        (b.slot_a, b.slot_b)
+        for b in scene.bilaterals
+        if getattr(b, "btype", -1) == 1  # POINT joints couple two slots
+    ]
 
     def body(_, labels):
         m = jnp.minimum(labels[s1], labels[s2])
@@ -90,6 +95,10 @@ def island_labels(scene: sc.Scene, active):
         for a, b in ab_ranges:
             mn = jnp.min(labels[a:b])
             labels = labels.at[a:b].set(mn)
+        for sa, sb in bi_edges:
+            mn = jnp.minimum(labels[sa], labels[sb])
+            labels = labels.at[sa].set(mn)
+            labels = labels.at[sb].set(mn)
         return labels
 
     return jax.lax.fori_loop(0, ns, body, labels0)
@@ -193,6 +202,12 @@ def assemble_problem(scene, st, pt: PoseTable, con: Contacts, act, act_lim) -> P
         Jl = jnp.zeros((0, ngc), dtype)
 
     Minv = gc_inv_inertia(scene, st, st.quat)
+    if scene.bilaterals:
+        # X = projected inverse inertia (compute_X, :1590)
+        from . import bilateral as bil
+
+        Jb, _ = bil.constraint_rows(scene, st, pt)
+        Minv = bil.project_inv_inertia(Minv, Jb)
     v = gc_velocity(scene, st)
 
     Wn = Jn @ Minv
@@ -360,6 +375,16 @@ def resolve_impacts(
         need_resolve, dv1 + dv2 + dv3, jnp.where(changed, dv1 + dv2, dv1)
     )
     z_f = jnp.where(need_resolve, z3, z)
+
+    if scene.bilaterals:
+        # λ-correction removing pre-impact bilateral constraint-velocity
+        # violation (update_from_stacked, :355-379)
+        from . import bilateral as bil
+
+        Jb, _ = bil.constraint_rows(scene, st, pt)
+        Minv_raw = gc_inv_inertia(scene, st, st.quat)
+        v_pre = gc_velocity(scene, st)
+        dv = dv + bil.velocity_correction(Minv_raw, Jb, v_pre)
 
     dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
     z_out = jnp.where(any_impact, z_f, zlast)

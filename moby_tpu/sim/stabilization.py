@@ -40,7 +40,7 @@ def _limit_violation(scene, s):
 def stabilize(scene: sc.Scene, st: sc.State) -> sc.State:
     dtype = st.pos.dtype
     nz = cfg.near_zero(dtype)
-    if scene.n_contacts == 0 and scene.n_limits == 0:
+    if scene.n_contacts == 0 and scene.n_limits == 0 and not scene.bilaterals:
         return st
 
     def min_dist(s):
@@ -53,39 +53,66 @@ def stabilize(scene: sc.Scene, st: sc.State) -> sc.State:
             vals.append(pd.dist)
         return jnp.min(jnp.concatenate(vals))
 
+    def bilateral_vio(s):
+        if not scene.bilaterals:
+            return jnp.zeros((), dtype)
+        from . import bilateral as bil
+
+        pt = kinematics.compute(scene, s)
+        _, C = bil.constraint_rows(scene, s, pt)
+        return jnp.max(jnp.abs(C))
+
     def cond(carry):
         s, it = carry
-        return (min_dist(s) < nz) & (it < MAX_STAB_ITERS)
+        # while (max_uvio < eps || max_bvio > bilateral_eps), :197
+        return ((min_dist(s) < nz) | (bilateral_vio(s) > 1e-6)) & (
+            it < MAX_STAB_ITERS
+        )
 
     def body(carry):
         s, it = carry
         pt = kinematics.compute(scene, s)
-        _, con = nph.narrow_phase(scene, pt.pos, pt.quat, jnp.asarray(jnp.inf, dtype))
-        act = con.active & jnp.isfinite(con.depth)
-        all_lim = (
-            jnp.ones(scene.n_limits, bool)
-            if scene.n_limits
-            else jnp.zeros(0, bool)
-        )
+        if scene.n_contacts or scene.n_limits:
+            _, con = nph.narrow_phase(
+                scene, pt.pos, pt.quat, jnp.asarray(jnp.inf, dtype)
+            )
+            act = con.active & jnp.isfinite(con.depth)
+            all_lim = (
+                jnp.ones(scene.n_limits, bool)
+                if scene.n_limits
+                else jnp.zeros(0, bool)
+            )
 
-        p = impact.assemble_problem(scene, s, pt, con, act, all_lim)
-        # stacked [contacts; limits] position-projection LCP (determine_dq:932)
-        MM = jnp.block([[p.Ann, p.Anl], [p.Anl.T, p.All]])
-        qq = jnp.concatenate(
-            [
-                con.depth - jnp.abs(nz) - nz,
-                _limit_violation(scene, s) - jnp.abs(nz) - nz,
-            ]
-        )
-        mact = jnp.concatenate([act, all_lim])
-        z, ok = lcp.lcp_fast(MM, qq, mact)
-        z2, _ = lcp.lcp_lemke_regularized(MM, qq, mact)
-        z = jnp.where(ok, z, z2)
-        zc = z[: scene.n_contacts]
-        zl = z[scene.n_contacts :]
+            p = impact.assemble_problem(scene, s, pt, con, act, all_lim)
+            # stacked [contacts; limits] position LCP (determine_dq:932)
+            MM = jnp.block([[p.Ann, p.Anl], [p.Anl.T, p.All]])
+            qq = jnp.concatenate(
+                [
+                    con.depth - jnp.abs(nz) - nz,
+                    _limit_violation(scene, s) - jnp.abs(nz) - nz,
+                ]
+            )
+            mact = jnp.concatenate([act, all_lim])
+            z, ok = lcp.lcp_fast(MM, qq, mact)
+            z2, _ = lcp.lcp_lemke_regularized(MM, qq, mact)
+            z = jnp.where(ok, z, z2)
+            zc = z[: scene.n_contacts]
+            zl = z[scene.n_contacts :]
 
-        # generalized displacement dq = inv(M) [Cn' L'] z at position level
-        dv = p.Minv @ (p.Jn.T @ zc + p.Jl.T @ zl)
+            # generalized displacement dq = inv(M) [Cn' L'] z
+            dv = p.Minv @ (p.Jn.T @ zc + p.Jl.T @ zl)
+        else:
+            dv = jnp.zeros(scene.ngc, dtype)
+        if scene.bilaterals:
+            # Newton projection of the bilateral violation C(q) -> 0
+            from . import bilateral as bil
+            from . import impact as imp
+
+            Jb, C = bil.constraint_rows(scene, s, pt)
+            Minv_raw = imp.gc_inv_inertia(scene, s, s.quat)
+            JM = Jb @ Minv_raw
+            G = JM @ Jb.T + 1e-12 * jnp.eye(Jb.shape[0], dtype=dtype)
+            dv = dv - JM.T @ jnp.linalg.solve(G, C)
         nb = scene.nb
         if nb:
             dvb = dv[: 6 * nb].reshape(nb, 6)

@@ -266,9 +266,32 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
     if controller is not None:
         tau = controller(scene, st2)
     a_lin, a_ang = forward_dynamics_free(scene, st2.quat, st2.omega)
+    qdd = articulated_qdd(scene, st2, tau)
+
+    if scene.bilaterals:
+        # acceleration-level KKT for implicit bilateral constraints
+        # (Simulator::solve, src/Simulator.cpp:604-805)
+        from . import bilateral
+        from . import impact as imp
+
+        pt0 = kinematics.compute(scene, st2)
+        J, _C = bilateral.constraint_rows(scene, st2, pt0)
+        jd = bilateral.jdot_qd(scene, st2)
+        Minv = imp.gc_inv_inertia(scene, st2, st2.quat)
+        nb = scene.nb
+        a_gc = jnp.concatenate(
+            ([jnp.concatenate([a_lin, a_ang], axis=-1).reshape(-1)] if nb else [])
+            + ([qdd] if scene.nv_art else [])
+        )
+        a_gc = bilateral.acceleration_correction(Minv, J, a_gc, jd)
+        if nb:
+            ab6 = a_gc[: 6 * nb].reshape(nb, 6)
+            a_lin, a_ang = ab6[:, :3], ab6[:, 3:]
+        if scene.nv_art:
+            qdd = a_gc[6 * nb :]
+
     vel = st2.vel + a_lin * h
     omega = st2.omega + a_ang * h
-    qdd = articulated_qdd(scene, st2, tau)
     qd_art = st2.qd_art + qdd * h
 
     # dissipation (src/Dissipation.cpp:30-55)
