@@ -376,6 +376,29 @@ def _build_articulated(b, el, prims, xml_path):
                 )
             )
 
+    build_ab_from_world(b, ab_name, links, joints, floating, link_order)
+
+    # gear couplings (Moby::Gears: +1 on the inboard link's joint coordinate,
+    # -ratio on the outboard link's — src/Gears.cpp:64-96)
+    for ch in el:
+        if ch.tag == "Gears":
+            b.add_gear_constraint(
+                ab_name,
+                ch.get("inboard-link-id"),
+                ch.get("outboard-link-id"),
+                float(ch.get("gear-ratio", 1.0)),
+            )
+
+
+def build_ab_from_world(b, ab_name, links, joints, floating, link_order):
+    """Build an articulated body from world-posed links + world-located
+    joints (shared by the Moby-XML and SDF readers).
+
+    links: name -> dict(pos, quat, mass, inertia (about COM, link axes),
+           com_local (optional), geoms, lv, av)
+    joints: list of dict(jtype, location (world), axis (world), inboard,
+           outboard, q, qd, lo, hi, restitution)
+    """
     # base = link that is never an outboard
     outboards = {j["outboard"] for j in joints}
     base_candidates = [l for l in link_order if l not in outboards]
@@ -414,7 +437,8 @@ def _build_articulated(b, el, prims, xml_path):
             )
         model_frames[base] = (Rb, lk["pos"])
         return amdl.LinkDef(
-            name=base, mass=lk["mass"], com=np.zeros(3),
+            name=base, mass=lk["mass"],
+            com=lk.get("com_local", np.zeros(3)),
             inertia_com=lk["inertia"] if np.any(lk["inertia"]) else np.eye(3) * 1e-12,
             joint=jd,
         )
@@ -472,7 +496,8 @@ def _build_articulated(b, el, prims, xml_path):
                 restitution=j["restitution"],
                 name=child,
             )
-            com = Rc.T @ (lk["pos"] - L)
+            com_world = lk["pos"] + Rc @ lk.get("com_local", np.zeros(3))
+            com = Rc.T @ (com_world - L)
             link_defs.append(
                 amdl.LinkDef(
                     name=child, mass=lk["mass"], com=com,
@@ -497,17 +522,6 @@ def _build_articulated(b, el, prims, xml_path):
     q0 = np.concatenate(q0_list) if q0_list else np.zeros(0)
     qd0 = np.concatenate(qd0_list) if qd0_list else np.zeros(0)
     b.add_articulated(ab_name, model, q0=q0, qd0=qd0, link_names=names)
-
-    # gear couplings (Moby::Gears: +1 on the inboard link's joint coordinate,
-    # -ratio on the outboard link's — src/Gears.cpp:64-96)
-    for ch in el:
-        if ch.tag == "Gears":
-            b.add_gear_constraint(
-                ab_name,
-                ch.get("inboard-link-id"),
-                ch.get("outboard-link-id"),
-                float(ch.get("gear-ratio", 1.0)),
-            )
 
     # geometries: local pose in the model frame (origin at joint location)
     for lname in names:

@@ -1,0 +1,216 @@
+"""SDF (Gazebo) model/world reader.
+
+Mirrors the reference's `SDFReader` scope (src/SDFReader.cpp:160-479): models
+with links (model-frame poses, inertials), revolute/prismatic/fixed/ball
+joints (revolute2/piston rejected there too), axis limits, and
+sphere/box/cylinder/mesh collisions. Mesh URIs resolve to OBJ files whose
+vertex clouds become POLYHEDRON contact geometries (convex-hull use).
+
+The kinematic tree is compiled through the same world-pose machinery as the
+Moby-XML articulated reader (mobyxml.build_ab_from_world).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from ..core import scene as sc
+from ..dynamics import model as amdl
+from .mobyxml import build_ab_from_world, _rpy_quat, _quat_to_R, _quat_mul
+
+
+def _pose(el):
+    """SDF <pose>x y z r p y</pose> -> (pos, quat)."""
+    if el is None:
+        return np.zeros(3), np.array([0.0, 0, 0, 1.0])
+    v = np.array([float(x) for x in el.text.split()])
+    return v[:3], _rpy_quat(v[3:6])
+
+
+def load_obj_vertices(path: str, max_verts: int = 64) -> np.ndarray:
+    """Vertices of an OBJ mesh, decimated to at most max_verts by farthest-
+    point sampling (contact generation needs the hull extremes, not density)."""
+    verts = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+    v = np.array(verts)
+    if len(v) <= max_verts:
+        return v
+    # farthest-point decimation
+    keep = [int(np.argmax(np.linalg.norm(v - v.mean(0), axis=1)))]
+    d = np.linalg.norm(v - v[keep[0]], axis=1)
+    for _ in range(max_verts - 1):
+        i = int(np.argmax(d))
+        keep.append(i)
+        d = np.minimum(d, np.linalg.norm(v - v[i], axis=1))
+    return v[keep]
+
+
+_JTYPES = {
+    "revolute": amdl.REVOLUTE,
+    "prismatic": amdl.PRISMATIC,
+    "fixed": amdl.FIXED,
+    "ball": amdl.SPHERICAL,
+}
+
+
+def add_model(builder: sc.SceneBuilder, model_el, base_dir: str,
+              floating: bool = False, name: str | None = None):
+    """Parse an SDF <model> into an articulated body on the builder."""
+    mname = name or model_el.get("name")
+    mpos, mquat = _pose(model_el.find("pose"))
+    Rm = _quat_to_R(mquat)
+
+    links = {}
+    link_order = []
+    for lel in model_el.findall("link"):
+        lname = lel.get("name")
+        lpos, lquat = _pose(lel.find("pose"))
+        wpos = mpos + Rm @ lpos
+        wquat = _quat_mul(mquat, lquat)
+        inertial = lel.find("inertial")
+        mass = 0.0
+        inertia = np.zeros((3, 3))
+        com_local = np.zeros(3)
+        if inertial is not None:
+            mass = float(inertial.findtext("mass", "0"))
+            ipos, iquat = _pose(inertial.find("pose"))
+            com_local = ipos
+            ie = inertial.find("inertia")
+            if ie is not None:
+                I = np.array(
+                    [
+                        [float(ie.findtext("ixx", "0")), float(ie.findtext("ixy", "0")), float(ie.findtext("ixz", "0"))],
+                        [float(ie.findtext("ixy", "0")), float(ie.findtext("iyy", "0")), float(ie.findtext("iyz", "0"))],
+                        [float(ie.findtext("ixz", "0")), float(ie.findtext("iyz", "0")), float(ie.findtext("izz", "0"))],
+                    ]
+                )
+                Ri = _quat_to_R(iquat)
+                inertia = Ri @ I @ Ri.T
+        geoms = []
+        for cel in lel.findall("collision"):
+            gpos, gquat = _pose(cel.find("pose"))
+            geo = cel.find("geometry")
+            if geo is None:
+                continue
+            if geo.find("sphere") is not None:
+                r = float(geo.find("sphere").findtext("radius"))
+                geoms.append((sc.SPHERE, np.array([r]), gpos, gquat, None))
+            elif geo.find("box") is not None:
+                size = np.array(
+                    [float(x) for x in geo.find("box").findtext("size").split()]
+                )
+                geoms.append((sc.BOX, size / 2, gpos, gquat, None))
+            elif geo.find("cylinder") is not None:
+                c = geo.find("cylinder")
+                r = float(c.findtext("radius"))
+                h = float(c.findtext("length"))
+                # SDF cylinder axis z -> our axis y
+                rq = _rpy_quat(np.array([math.pi / 2, 0, 0]))
+                geoms.append(
+                    (sc.CYLINDER, np.array([r, h]), gpos, _quat_mul(gquat, rq), None)
+                )
+            elif geo.find("mesh") is not None:
+                uri = geo.find("mesh").findtext("uri", "")
+                fname = uri.split("//")[-1]
+                # try progressively shorter suffixes against base_dir
+                cand = None
+                parts = fname.split("/")
+                for k in range(len(parts)):
+                    p = os.path.join(base_dir, *parts[k:])
+                    if os.path.exists(p) and p.endswith(".obj"):
+                        cand = p
+                        break
+                if cand:
+                    verts = load_obj_vertices(cand)
+                    geoms.append((sc.POLYHEDRON, np.zeros(1), gpos, gquat, verts))
+                # .dae and unresolved meshes are skipped (no collision)
+        links[lname] = dict(
+            pos=wpos, quat=wquat, mass=mass, inertia=inertia,
+            com_local=com_local, geoms=geoms,
+            lv=np.zeros(3), av=np.zeros(3),
+        )
+        link_order.append(lname)
+
+    joints = []
+    world_welds = []
+    for jel in model_el.findall("joint"):
+        jt = jel.get("type")
+        if jt not in _JTYPES:
+            raise ValueError(f"unsupported SDF joint type {jt}")
+        child = jel.findtext("child")
+        parent = jel.findtext("parent")
+        axis_el = jel.find("axis")
+        axis = np.array([1.0, 0, 0])
+        lo = hi = None
+        if axis_el is not None:
+            axis = np.array([float(x) for x in axis_el.findtext("xyz", "1 0 0").split()])
+            lim = axis_el.find("limit")
+            if lim is not None:
+                lo_v = lim.findtext("lower")
+                hi_v = lim.findtext("upper")
+                lo = np.array([float(lo_v)]) if lo_v is not None else None
+                hi = np.array([float(hi_v)]) if hi_v is not None else None
+            # use_parent_model_frame=1 -> axis already in model frame; else
+            # child frame -> rotate to world
+            upf = axis_el.findtext("use_parent_model_frame", "0").strip()
+            if upf not in ("1", "true"):
+                axis = _quat_to_R(links[child]["quat"]) @ axis
+            else:
+                axis = Rm @ axis
+        jpos, jquat = _pose(jel.find("pose"))
+        # SDF: joint pose relative to the CHILD link frame
+        cl = links[child]
+        loc = cl["pos"] + _quat_to_R(cl["quat"]) @ jpos
+
+        # a joint with lower==upper (the "world weld" idiom, e.g. ur10's
+        # world_joint with limits 0..0) is effectively fixed
+        if lo is not None and hi is not None and float(lo[0]) == float(hi[0]):
+            jt_eff = amdl.FIXED
+            lo = hi = None
+        else:
+            jt_eff = _JTYPES[jt]
+
+        if parent == "world":
+            # child becomes (part of) the base attachment: represent the
+            # world weld by making the child the tree base (fixed base)
+            world_welds.append(child)
+            continue
+        joints.append(
+            dict(
+                jtype=jt_eff, location=loc, axis=axis,
+                inboard=parent, outboard=child,
+                q=None, qd=None, lo=lo, hi=hi, restitution=0.0,
+            )
+        )
+
+    build_ab_from_world(builder, mname, links, joints, floating, link_order)
+    return mname, link_order
+
+
+def load(path: str):
+    """Load an SDF file (<sdf><model>...) -> (Scene, State, opts)."""
+    from .mobyxml import DriverOptions
+
+    root = ET.parse(path).getroot()
+    model = root.find("model")
+    if model is None and root.tag == "model":
+        model = root
+    if model is None:
+        world = root.find("world")
+        if world is not None:
+            model = world.find("model")
+    if model is None:
+        raise ValueError("no <model> element found")
+
+    b = sc.SceneBuilder()
+    b.set_gravity([0, 0, -9.81])
+    add_model(b, model, os.path.dirname(os.path.abspath(path)))
+    scene, st = b.compile()
+    return scene, st, DriverOptions()
