@@ -1,10 +1,15 @@
 """Measure batched contact-MPC solves/s (H=50 iLQR, ball-push task)."""
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# NOTE: do not launch with PYTHONPATH set — it breaks the TPU tunnel
+# registration in this environment; the repo root is inserted here instead.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
