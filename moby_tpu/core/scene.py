@@ -117,6 +117,9 @@ class Scene:
     slot_mu_c: jnp.ndarray
     slot_mu_v: jnp.ndarray
     slot_compliance: jnp.ndarray
+    slot_compliant: jnp.ndarray   # (K,) bool: penalty (spring-damper) contact
+    slot_kp: jnp.ndarray          # (K,) penalty stiffness
+    slot_kv: jnp.ndarray          # (K,) penalty damping
 
     # ---- joint-limit slots (NL,)
     lim_gc_col: jnp.ndarray      # (NL,) int32 gc column of the limited dof
@@ -139,6 +142,8 @@ class Scene:
     contact_dist_thresh: jnp.ndarray
     min_step_size: jnp.ndarray
     dissipation_lambda: jnp.ndarray  # (nb,)
+    drag_lin: jnp.ndarray            # (nb,) linear drag coefficient
+    drag_ang: jnp.ndarray            # (nb,) angular drag coefficient
 
     # ---- static metadata
     nb: int = struct.field(pytree_node=False, default=0)
@@ -155,6 +160,10 @@ class Scene:
     # all contacts have mu >= 100 -> the no-slip MLCP model
     # (ImpactConstraintHandler::apply_model's `all_inf` branch, :123-131)
     use_noslip: bool = struct.field(pytree_node=False, default=False)
+    has_compliant: bool = struct.field(pytree_node=False, default=False)
+    # constraint-stabilization iteration cap (XML
+    # constraint-stabilization-max-iterations; 0 disables)
+    stab_max_iters: int = struct.field(pytree_node=False, default=4)
     arts: Any = struct.field(pytree_node=False, default=())      # tuple[ABEntry]
     bilaterals: Any = struct.field(pytree_node=False, default=())  # tuple[Bilateral]
     kind_groups: Any = struct.field(pytree_node=False, default=None)
@@ -202,6 +211,7 @@ class BodyDef:
     ang_vel: np.ndarray = None
     enabled: bool = True
     dissipation: float = 1.0
+    compliant: bool = False
 
 
 @dataclass
@@ -224,6 +234,8 @@ class ContactParams:
     mu_viscous: float = 0.0
     nk: int = 4
     compliance: float = 0.0
+    penalty_kp: float = 0.0
+    penalty_kv: float = 0.0
 
 
 def box_vertices(hx, hy, hz) -> np.ndarray:
@@ -280,9 +292,13 @@ class SceneBuilder:
         self.gravity = np.zeros(3)
         self.contact_dist_thresh = 1e-6
         self.min_step_size = cfg.NEAR_ZERO_F64
+        self.stab_max_iters = 4
         self.disabled_pairs: set[tuple[str, str]] = set()
         # custom plugin contact kernels: (body1, body2, kernel, nslots)
         self.custom_pairs: list = []
+        # per-body drag coefficients (StokesDragForce / DampingForce)
+        self.drag_lin: dict = {}
+        self.drag_ang: dict = {}
 
     def add_gear_constraint(self, ab_name, link_a, link_b, ratio):
         """Gear ratio coupling between two 1-dof joints of an articulated
@@ -539,6 +555,11 @@ class SceneBuilder:
         # contact slots
         s_pair, s_s1, s_s2 = [], [], []
         s_eps, s_mu_c, s_mu_v, s_comp, s_nk = [], [], [], [], []
+        s_compliant, s_kp, s_kv = [], [], []
+
+        def _body_compliant(slot):
+            kind, k, l = slot_owner[slot]
+            return self.bodies[k].compliant if kind == "free" else False
         pair_slot0 = np.zeros(n_pairs, np.int32)
         pair_nslots = np.zeros(n_pairs, np.int32)
         for p, (ga, gb, kind) in enumerate(pair_rows):
@@ -559,6 +580,9 @@ class SceneBuilder:
                 s_mu_v.append(cp.mu_viscous)
                 s_comp.append(cp.compliance)
                 s_nk.append(max(4, cp.nk))
+                s_compliant.append(_body_compliant(s1) or _body_compliant(s2))
+                s_kp.append(cp.penalty_kp)
+                s_kv.append(cp.penalty_kv)
         K = len(s_pair)
 
         # friction rows: θ_j = j/(NK/2-1)·π/2 (setup_QP:461-479)
@@ -677,6 +701,9 @@ class SceneBuilder:
             slot_mu_c=jnp.array(np.array(s_mu_c, dt)),
             slot_mu_v=jnp.array(np.array(s_mu_v, dt)),
             slot_compliance=jnp.array(np.array(s_comp, dt)),
+            slot_compliant=jnp.array(np.array(s_compliant, bool) if K else np.zeros(0, bool)),
+            slot_kp=jnp.array(np.array(s_kp, dt)),
+            slot_kv=jnp.array(np.array(s_kv, dt)),
             lim_gc_col=jnp.array(np.array(lim_gc_col, np.int32)),
             lim_q_idx=jnp.array(np.array(lim_q_idx, np.int32)),
             lim_upper=jnp.array(np.array(lim_upper, bool)),
@@ -693,6 +720,12 @@ class SceneBuilder:
             dissipation_lambda=jnp.array(
                 np.array([b.dissipation for b in self.bodies], dt)
             ),
+            drag_lin=jnp.array(
+                np.array([self.drag_lin.get(b.name, 0.0) for b in self.bodies], dt)
+            ),
+            drag_ang=jnp.array(
+                np.array([self.drag_ang.get(b.name, 0.0) for b in self.bodies], dt)
+            ),
             nb=nb,
             ng=ng,
             n_pose_slots=ns,
@@ -704,7 +737,15 @@ class SceneBuilder:
             n_friction_rows=NF,
             n_limits=NL,
             vmax=vmax,
-            use_noslip=bool(K > 0 and all(m >= 1e2 for m in s_mu_c)),
+            use_noslip=bool(
+                K > 0
+                and all(
+                    m >= 1e2 for m, c in zip(s_mu_c, s_compliant) if not c
+                )
+                and not all(s_compliant)
+            ),
+            has_compliant=bool(any(s_compliant)),
+            stab_max_iters=int(self.stab_max_iters),
             arts=tuple(art_entries),
             bilaterals=tuple(bilaterals),
             kind_groups=kind_groups,

@@ -160,6 +160,7 @@ def load(path: str, post_build=None):
     prims: dict[str, _Primitive] = {}
     gravity = np.zeros(3)
     gravity_ids = set()
+    drag_forces: dict[str, tuple] = {}
     bodies_xml = {}
     abs_xml = {}
     sim_el = None
@@ -170,6 +171,11 @@ def load(path: str, post_build=None):
         elif el.tag == "GravityForce":
             gravity_ids.add(el.get("id"))
             gravity = _floats(el.get("accel", "0 0 0"))
+        elif el.tag == "StokesDragForce":
+            drag_forces[el.get("id")] = (
+                float(el.get("drag-b", 0.0)),
+                float(el.get("drag-b-ang", 0.0)),
+            )
         elif el.tag == "RigidBody":
             bodies_xml[el.get("id")] = el
         elif el.tag == "RCArticulatedBody":
@@ -193,6 +199,19 @@ def load(path: str, post_build=None):
     )
     if has_gravity:
         b.set_gravity(gravity)
+    # Stokes drag applies to every body when referenced as a recurrent force
+    drag = [
+        drag_forces[c.get("recurrent-force-id")]
+        for c in sim_el
+        if c.tag == "RecurrentForce"
+        and c.get("recurrent-force-id") in drag_forces
+    ]
+    if drag:
+        bl = sum(d[0] for d in drag)
+        ba = sum(d[1] for d in drag)
+        for bid in body_ids:
+            b.drag_lin[bid] = bl
+            b.drag_ang[bid] = ba
 
     for bid in body_ids:
         el = bodies_xml.get(bid)
@@ -203,6 +222,7 @@ def load(path: str, post_build=None):
             raise ValueError(f"body {bid} not found")
         pos, quat = _pose_from_attrs(el)
         enabled = el.get("enabled", "true").lower() != "false"
+        compliant = el.get("compliant", "false").lower() == "true"
         lv = _floats(el.get("linear-velocity", "0 0 0"))
         av = _floats(el.get("angular-velocity", "0 0 0"))
 
@@ -241,6 +261,7 @@ def load(path: str, post_build=None):
             lin_vel=lv,
             ang_vel=av,
             enabled=enabled,
+            compliant=compliant,
         )
 
         for ch in el.findall("CollisionGeometry"):
@@ -266,7 +287,9 @@ def load(path: str, post_build=None):
                 mu_coulomb=_parse_mu(c.get("mu-coulomb", "0")),
                 mu_viscous=float(c.get("mu-viscous", 0.0)),
                 nk=int(float(c.get("friction-cone-edges", 4))),
-                compliance=float(c.get("penalty-Kp", 0.0)) * 0.0,
+                compliance=float(c.get("compliance", 0.0)),
+                penalty_kp=float(c.get("penalty-kp", 0.0)),
+                penalty_kv=float(c.get("penalty-kv", 0.0)),
             )
             b.set_contact_params(o1, o2, cp)
         elif c.tag == "DisabledPair":
@@ -276,6 +299,10 @@ def load(path: str, post_build=None):
 
     if sim_el.get("min-step-size"):
         b.min_step_size = float(sim_el.get("min-step-size"))
+    if sim_el.get("constraint-stabilization-max-iterations") is not None:
+        b.stab_max_iters = min(
+            8, int(float(sim_el.get("constraint-stabilization-max-iterations")))
+        )
 
     if post_build is not None:
         post_build(b)

@@ -42,6 +42,10 @@ def stabilize(scene: sc.Scene, st: sc.State) -> sc.State:
     nz = cfg.near_zero(dtype)
     if scene.n_contacts == 0 and scene.n_limits == 0 and not scene.bilaterals:
         return st
+    if scene.stab_max_iters == 0:
+        # disabled (XML constraint-stabilization-max-iterations="0",
+        # used by compliant-contact scenes like ur10.xml)
+        return st
 
     def min_dist(s):
         vals = [jnp.array([jnp.inf], dtype), _limit_violation(scene, s)]
@@ -66,7 +70,7 @@ def stabilize(scene: sc.Scene, st: sc.State) -> sc.State:
         s, it = carry
         # while (max_uvio < eps || max_bvio > bilateral_eps), :197
         return ((min_dist(s) < nz) | (bilateral_vio(s) > 1e-6)) & (
-            it < MAX_STAB_ITERS
+            it < min(MAX_STAB_ITERS, scene.stab_max_iters)
         )
 
     def body(carry):

@@ -45,18 +45,60 @@ MAX_MINI_STEPS = 64
 MAX_CA_ITERS = 32
 
 
-def forward_dynamics_free(scene: sc.Scene, quat_b, omega):
-    """Free-body accelerations: gravity + gyroscopic moment (Ravelin
-    RigidBodyd::calc_fwd_dyn equivalent, world-aligned COM frame)."""
+def forward_dynamics_free(scene: sc.Scene, quat_b, omega, vel=None):
+    """Free-body accelerations: gravity + gyroscopic moment + drag forces
+    (Ravelin RigidBodyd::calc_fwd_dyn + StokesDragForce/DampingForce)."""
     live = scene.enabled & (scene.mass > 0)
     a_lin = jnp.where(live[:, None], scene.gravity[None, :], 0.0)
     R = quat.to_matrix(quat_b)
     Iw = R @ scene.inertia @ jnp.swapaxes(R, -1, -2)
     Iw_inv = R @ scene.inv_inertia @ jnp.swapaxes(R, -1, -2)
     gyro = -jnp.cross(omega, jnp.einsum("bij,bj->bi", Iw, omega))
+    if vel is not None:
+        # F = -b v, τ = -b_ang ω (src/StokesDragForce.cpp:33-62)
+        a_lin = a_lin - scene.inv_mass[:, None] * scene.drag_lin[:, None] * vel
+        gyro = gyro - scene.drag_ang[:, None] * omega
     a_ang = jnp.einsum("bij,bj->bi", Iw_inv, gyro)
     a_ang = jnp.where(live[:, None], a_ang, 0.0)
     return a_lin, a_ang
+
+
+def penalty_forces(scene: sc.Scene, pt, con):
+    """Compliant (penalty) contact forces: spring-damper on the deepest
+    compliant contact per pair (PenaltyConstraintHandler.cpp:79-205).
+    Returns a gc force vector."""
+    dtype = pt.pos.dtype
+    f_gc = jnp.zeros(scene.ngc, dtype)
+    if scene.n_contacts == 0:
+        return f_gc
+    compl_slots = scene.slot_compliant & (con.depth < 0.0)
+    # deepest per pair
+    pair_min = jnp.full(scene.n_pairs, jnp.inf, dtype).at[scene.slot_pair].min(
+        jnp.where(compl_slots, con.depth, jnp.inf)
+    )
+    deepest = compl_slots & (con.depth <= pair_min[scene.slot_pair] + 0.0)
+
+    cnv, csv, ctv = impact.contact_velocities(scene, pt, con)
+    fN = jnp.maximum(
+        0.0, -con.depth * scene.slot_kp - cnv * scene.slot_kv
+    )
+    fN = jnp.where(deepest, fN, 0.0)
+    # viscous sliding friction
+    fs = -jnp.sign(csv) * fN * scene.slot_mu_v
+    ft = -jnp.sign(ctv) * fN * scene.slot_mu_v
+    # force on body1 along +n (+tangential), reaction on body2
+    s1, s2 = scene.slot_s1, scene.slot_s2
+    fvec = (
+        fN[:, None] * con.normal + fs[:, None] * con.tan1 + ft[:, None] * con.tan2
+    )
+    r1 = con.point - pt.pos[s1]
+    r2 = con.point - pt.pos[s2]
+    w1 = jnp.concatenate([fvec, jnp.cross(r1, fvec)], axis=-1)
+    w2 = jnp.concatenate([fvec, jnp.cross(r2, fvec)], axis=-1)
+    f_gc = jnp.einsum("ki,kij->j", w1, pt.W[s1]) - jnp.einsum(
+        "ki,kij->j", w2, pt.W[s2]
+    )
+    return f_gc
 
 
 def articulated_qdd(scene: sc.Scene, st: sc.State, tau=None):
@@ -187,6 +229,14 @@ def ca_euler_step(scene: sc.Scene, st, pt, min_dist_obs):
     sphere_touch_rec = is_sphereish & (dist <= 0.0) & ~sphere_rest & ~approaching
     step_pair = jnp.where(sphere_touch_rec, INF, step_pair)
 
+    # compliant pairs are not CA-limited (reference skips eCompliant bodies
+    # in calc_next_CA_Euler_step, TimeSteppingSimulator.cpp:313-320)
+    if scene.has_compliant:
+        pair_compliant = jnp.zeros(scene.n_pairs, bool).at[
+            scene.slot_pair
+        ].max(scene.slot_compliant)
+        step_pair = jnp.where(pair_compliant, INF, step_pair)
+
     min_step = jnp.min(jnp.concatenate([step_pair, jnp.array([INF], dtype)]))
     return _limit_eta(scene, st, min_step), mdo
 
@@ -265,8 +315,26 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
     tau = None
     if controller is not None:
         tau = controller(scene, st2)
-    a_lin, a_ang = forward_dynamics_free(scene, st2.quat, st2.omega)
+    a_lin, a_ang = forward_dynamics_free(scene, st2.quat, st2.omega, st2.vel)
     qdd = articulated_qdd(scene, st2, tau)
+
+    if scene.has_compliant:
+        # compliant (penalty) contact forces applied before the velocity
+        # update (calc_compliant_unilateral_constraint_forces)
+        pt_c = kinematics.compute(scene, st2)
+        _, con_c = nph.narrow_phase(
+            scene, pt_c.pos, pt_c.quat, scene.contact_dist_thresh
+        )
+        f_gc = penalty_forces(scene, pt_c, con_c)
+        Minv_c = impact.gc_inv_inertia(scene, st2, st2.quat)
+        a_pen = Minv_c @ f_gc
+        nb_ = scene.nb
+        if nb_:
+            ap6 = a_pen[: 6 * nb_].reshape(nb_, 6)
+            a_lin = a_lin + ap6[:, :3]
+            a_ang = a_ang + ap6[:, 3:]
+        if scene.nv_art:
+            qdd = qdd + a_pen[6 * nb_ :]
 
     if scene.bilaterals:
         # acceleration-level KKT for implicit bilateral constraints
@@ -307,6 +375,11 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
         _, con = nph.narrow_phase(
             scene, pt.pos, pt.quat, scene.contact_dist_thresh
         )
+        if scene.has_compliant:
+            # compliant contacts are handled by the penalty forces, not the
+            # rigid impact LCP (find_unilateral_constraints' rigid/compliant
+            # split, ConstraintSimulator.cpp:510-520)
+            con = con._replace(active=con.active & ~scene.slot_compliant)
         if scene.use_noslip:
             from . import noslip
 
