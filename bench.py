@@ -24,7 +24,7 @@ def main():
 
     scene, st = _build_scene()
 
-    B = 512
+    B = int(__import__("os").environ.get("MOBY_BENCH_B", "512"))
     batched = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), st
     )

@@ -58,6 +58,7 @@ K_BOX_SPHERE = 2      # A=box, B=sphere, 1 slot
 K_PLANE_GENERIC = 3   # A=plane, B=vertex-carrying solid, vmax slots
 K_CYLINDER_PLANE = 4  # A=cylinder, B=plane, 4 slots
 K_TORUS_PLANE = 5     # A=torus, B=plane, 4 slots
+K_BOX_BOX = 6         # A=box, B=box: vertex-vs-box both ways, 2*vmax slots
 
 
 def _kind_nslots(kind: int, vmax: int) -> int:
@@ -67,6 +68,8 @@ def _kind_nslots(kind: int, vmax: int) -> int:
         return vmax
     if kind in (K_CYLINDER_PLANE, K_TORUS_PLANE):
         return 4
+    if kind == K_BOX_BOX:
+        return 2 * vmax
     raise ValueError(f"unknown kind {kind}")
 
 
@@ -400,6 +403,8 @@ class SceneBuilder:
             return K_TORUS_PLANE, False
         if ta == PLANE and tb == TORUS:
             return K_TORUS_PLANE, True
+        if ta == BOX and tb == BOX:
+            return K_BOX_BOX, False
         return None, False
 
     def compile(self):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -260,6 +261,75 @@ def _torus_plane(scene, pos, quat_b, pairs):
     return dist, pa, pb, pts, n, sdist
 
 
+def _point_box_dist_normal(half, p):
+    """Signed distance + outward normal (box local frame) for points p
+    (..., 3) against a box with half-extents `half` (Primitive
+    calc_dist_and_normal semantics)."""
+    clamped = jnp.clip(p, -half, half)
+    dvec = p - clamped
+    dn = jnp.linalg.norm(dvec, axis=-1)
+    outside = dn > 1e-12
+    face_d = half - jnp.abs(p)
+    min_face = jnp.min(face_d, axis=-1)
+    iface = jnp.argmin(face_d, axis=-1)
+    n_in = jnp.sign(p) * jax.nn.one_hot(iface, 3, dtype=p.dtype)
+    n_out = dvec / jnp.maximum(dn, 1e-30)[..., None]
+    dist = jnp.where(outside, dn, -min_face)
+    n = jnp.where(outside[..., None], n_out, n_in)
+    return dist, n
+
+
+def _box_box(scene, pos, quat_b, pairs, nslots):
+    """Box-box via vertex-vs-box both directions (the reference's generic
+    narrow phase, CCD.inl find_contacts_generic: vA tested in B with normal
+    -n_B, vB tested in A with normal +n_A; geom1 = A)."""
+    ga = scene.pair_g1[pairs]
+    gb = scene.pair_g2[pairs]
+    pa_, qa = geom_world_pose(scene, pos, quat_b, ga)
+    pb_, qb = geom_world_pose(scene, pos, quat_b, gb)
+    ha = scene.geom_params[ga, :3]
+    hb = scene.geom_params[gb, :3]
+    half_slots = nslots // 2
+
+    # vertices of A in B's frame
+    va = scene.geom_verts[ga][:, :half_slots]                # (P, V, 3) local A
+    va_w = pa_[:, None, :] + quat.rotate(qa[:, None, :], va)
+    va_b = quat.inverse_rotate(qb[:, None, :], va_w - pb_[:, None, :])
+    dA, nA_local = _point_box_dist_normal(hb[:, None, :], va_b)
+    nA_w = quat.rotate(qb[:, None, :], nA_local)             # outward from B
+
+    vb = scene.geom_verts[gb][:, :half_slots]
+    vb_w = pb_[:, None, :] + quat.rotate(qb[:, None, :], vb)
+    vb_a = quat.inverse_rotate(qa[:, None, :], vb_w - pa_[:, None, :])
+    dB, nB_local = _point_box_dist_normal(ha[:, None, :], vb_a)
+    nB_w = quat.rotate(qa[:, None, :], nB_local)             # outward from A
+
+    nva = scene.geom_nverts[ga]
+    nvb = scene.geom_nverts[gb]
+    validA = jnp.arange(half_slots)[None, :] < nva[:, None]
+    validB = jnp.arange(half_slots)[None, :] < nvb[:, None]
+
+    # contact normal convention: from geom2's body toward geom1's body.
+    # A-vertex in B: create_contact(cgA, cgB, v, n) with n = B's outward
+    # normal at the point -> points toward A ✓.
+    # B-vertex in A: create_contact(cgA, cgB, v, -n_A_outward) -> also B->A?
+    # The reference negates (find_contacts_generic :662): normal = -n where n
+    # is A's outward normal (pointing toward B), so -n points toward A ✓.
+    pts = jnp.concatenate([va_w, vb_w], axis=1)
+    nrm = jnp.concatenate([nA_w, -nB_w], axis=1)
+    sd = jnp.concatenate(
+        [jnp.where(validA, dA, jnp.inf), jnp.where(validB, dB, jnp.inf)], axis=1
+    )
+    dist = jnp.min(sd, axis=1)
+    # closest points for CA: vertex with min distance and its projection
+    imin = jnp.argmin(sd, axis=1)
+    pmin = jnp.take_along_axis(pts, imin[:, None, None], axis=1)[:, 0]
+    nmin = jnp.take_along_axis(nrm, imin[:, None, None], axis=1)[:, 0]
+    pa_c = pmin
+    pb_c = pmin - nmin * dist[:, None]
+    return dist, pa_c, pb_c, pts, nrm, sd
+
+
 _KERNELS = {
     sc.K_SPHERE_SPHERE: _sphere_sphere,
     sc.K_SPHERE_PLANE: _sphere_plane,
@@ -298,6 +368,10 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
             d, a, b, pts, nrm, sd = grp["kernel"](scene, pos, quat_b, pairs)
         elif kind == sc.K_PLANE_GENERIC:
             d, a, b, pts, nrm, sd = _plane_generic(
+                scene, pos, quat_b, pairs, grp["nslots"]
+            )
+        elif kind == sc.K_BOX_BOX:
+            d, a, b, pts, nrm, sd = _box_box(
                 scene, pos, quat_b, pairs, grp["nslots"]
             )
         else:
