@@ -59,6 +59,8 @@ K_PLANE_GENERIC = 3   # A=plane, B=vertex-carrying solid, vmax slots
 K_CYLINDER_PLANE = 4  # A=cylinder, B=plane, 4 slots
 K_TORUS_PLANE = 5     # A=torus, B=plane, 4 slots
 K_BOX_BOX = 6         # A=box, B=box: vertex-vs-box both ways, 2*vmax slots
+K_SPHERE_HEIGHTMAP = 7   # A=sphere, B=heightmap, 1 slot
+K_VERTS_HEIGHTMAP = 8    # A=vertex solid, B=heightmap, vmax slots
 
 
 def _kind_nslots(kind: int, vmax: int) -> int:
@@ -70,6 +72,10 @@ def _kind_nslots(kind: int, vmax: int) -> int:
         return 4
     if kind == K_BOX_BOX:
         return 2 * vmax
+    if kind == K_SPHERE_HEIGHTMAP:
+        return 1
+    if kind == K_VERTS_HEIGHTMAP:
+        return vmax
     raise ValueError(f"unknown kind {kind}")
 
 
@@ -139,6 +145,10 @@ class Scene:
     # ---- vertex table (plane_generic contacts / CA bounds)
     geom_verts: jnp.ndarray      # (ng, VMAX, 3)
     geom_nverts: jnp.ndarray     # (ng,)
+
+    # ---- heightmap grids (HEIGHTMAP geoms; params[0] = grid slot)
+    hm_heights: jnp.ndarray      # (n_hm, R, C)
+    hm_size: jnp.ndarray         # (n_hm, 2): width (x), depth (z)
 
     # ---- forces / solver config
     gravity: jnp.ndarray
@@ -226,6 +236,7 @@ class GeomDef:
     quat: np.ndarray = None
     verts: np.ndarray = None
     rmax: float = None           # override for the CA motion-bound radius
+    heights: np.ndarray = None   # (R, C) grid for HEIGHTMAP geoms
 
 
 @dataclass
@@ -355,7 +366,7 @@ class SceneBuilder:
         return ab
 
     def add_geom(self, body, gtype, params, pos=None, quat=None, verts=None,
-                 rmax=None):
+                 rmax=None, heights=None):
         g = GeomDef(
             body=body,
             gtype=gtype,
@@ -364,6 +375,7 @@ class SceneBuilder:
             quat=np.array([0, 0, 0, 1.0]) if quat is None else np.asarray(quat, np.float64),
             verts=verts,
             rmax=rmax,
+            heights=heights,
         )
         if g.gtype == BOX and g.verts is None:
             g.verts = box_vertices(*g.params[:3])
@@ -405,6 +417,14 @@ class SceneBuilder:
             return K_TORUS_PLANE, True
         if ta == BOX and tb == BOX:
             return K_BOX_BOX, False
+        if ta == SPHERE and tb == HEIGHTMAP:
+            return K_SPHERE_HEIGHTMAP, False
+        if ta == HEIGHTMAP and tb == SPHERE:
+            return K_SPHERE_HEIGHTMAP, True
+        if ta in (BOX, POLYHEDRON) and tb == HEIGHTMAP:
+            return K_VERTS_HEIGHTMAP, False
+        if ta == HEIGHTMAP and tb in (BOX, POLYHEDRON):
+            return K_VERTS_HEIGHTMAP, True
         return None, False
 
     def compile(self):
@@ -484,6 +504,27 @@ class SceneBuilder:
             if g.verts is not None:
                 geom_verts[i, : len(g.verts)] = g.verts
                 geom_nverts[i] = len(g.verts)
+
+        # heightmap grid storage: geom_params[0] becomes the grid slot index
+        hm_list = [g for g in all_geoms if g.gtype == HEIGHTMAP]
+        if hm_list:
+            Rm_ = max(g.heights.shape[0] for g in hm_list)
+            Cm_ = max(g.heights.shape[1] for g in hm_list)
+            hm_heights = np.zeros((len(hm_list), Rm_, Cm_), dt)
+            hm_size = np.zeros((len(hm_list), 2), dt)
+            hmi = 0
+            for i, g in enumerate(all_geoms):
+                if g.gtype == HEIGHTMAP:
+                    hgrid = np.asarray(g.heights, dt)
+                    hm_heights[hmi, : hgrid.shape[0], : hgrid.shape[1]] = hgrid
+                    hm_size[hmi] = g.params[:2]
+                    geom_params[i, 0] = hmi
+                    geom_params[i, 2] = hgrid.shape[0]
+                    geom_params[i, 3] = hgrid.shape[1]
+                    hmi += 1
+        else:
+            hm_heights = np.zeros((1, 2, 2), dt)
+            hm_size = np.ones((1, 2), dt)
 
         # rmax per pose slot (reference CCD.cpp:739)
         slot_rmax = np.zeros(ns, dt)
@@ -719,6 +760,8 @@ class SceneBuilder:
             fr_sin=jnp.array(np.array(fr_sin, dt)),
             geom_verts=jnp.array(geom_verts),
             geom_nverts=jnp.array(geom_nverts),
+            hm_heights=jnp.array(hm_heights),
+            hm_size=jnp.array(hm_size),
             gravity=jnp.array(self.gravity.astype(dt)),
             contact_dist_thresh=jnp.array(self.contact_dist_thresh, dt),
             min_step_size=jnp.array(self.min_step_size, dt),

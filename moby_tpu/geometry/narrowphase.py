@@ -330,12 +330,111 @@ def _box_box(scene, pos, quat_b, pairs, nslots):
     return dist, pa_c, pb_c, pts, nrm, sd
 
 
+def _hm_sample(scene, hm_idx, xz, rows, cols):
+    """Bilinear height h(x, z) + gradient on heightmap grids.
+
+    The grid spans x ∈ [-w/2, w/2] (rows), z ∈ [-d/2, d/2] (cols); local
+    y-up, like the reference's HeightmapPrimitive (its own `calc_height` has
+    integer-truncation bugs — this is the corrected bilinear form).
+    xz: (..., 2) local query points. Returns (h, dhdx, dhdz).
+    """
+    w = scene.hm_size[hm_idx, 0]
+    d = scene.hm_size[hm_idx, 1]
+    R = rows.astype(xz.dtype)
+    C = cols.astype(xz.dtype)
+    fx = (xz[..., 0] + w / 2) * (R - 1) / w
+    fz = (xz[..., 1] + d / 2) * (C - 1) / d
+    fx = jnp.clip(fx, 0.0, R - 1.0001)
+    fz = jnp.clip(fz, 0.0, C - 1.0001)
+    i0 = jnp.floor(fx).astype(jnp.int32)
+    j0 = jnp.floor(fz).astype(jnp.int32)
+    s = fx - i0
+    t = fz - j0
+    H = scene.hm_heights[hm_idx]
+    f00 = H[i0, j0]
+    f10 = H[i0 + 1, j0]
+    f01 = H[i0, j0 + 1]
+    f11 = H[i0 + 1, j0 + 1]
+    h = (
+        f00 * (1 - s) * (1 - t)
+        + f10 * s * (1 - t)
+        + f01 * (1 - s) * t
+        + f11 * s * t
+    )
+    dx = w / (R - 1)
+    dz = d / (C - 1)
+    dhdx = ((f10 - f00) * (1 - t) + (f11 - f01) * t) / dx
+    dhdz = ((f01 - f00) * (1 - s) + (f11 - f10) * s) / dz
+    return h, dhdx, dhdz
+
+
+def _heightmap_frame(scene, pos, quat_b, gb):
+    return geom_world_pose(scene, pos, quat_b, gb)
+
+
+def _sphere_heightmap(scene, pos, quat_b, pairs):
+    """A = sphere, B = heightmap: contact under the sphere center
+    (reference CCD find_contacts_sphere_heightmap approximation)."""
+    ga = scene.pair_g1[pairs]
+    gb = scene.pair_g2[pairs]
+    cs, _ = geom_world_pose(scene, pos, quat_b, ga)
+    hp, hq = _heightmap_frame(scene, pos, quat_b, gb)
+    r = scene.geom_params[ga, 0]
+    hm_idx = scene.geom_params[gb, 0].astype(jnp.int32)
+    rows = scene.geom_params[gb, 2].astype(jnp.int32)
+    cols = scene.geom_params[gb, 3].astype(jnp.int32)
+    cl = quat.inverse_rotate(hq, cs - hp)          # sphere center, hm frame
+    h, gx, gz = jax.vmap(
+        lambda hi, p, rr, cc: _hm_sample(scene, hi, p, rr, cc)
+    )(hm_idx, cl[:, [0, 2]], rows, cols)
+    # local surface normal ∝ (-dh/dx, 1, -dh/dz)
+    n_local = jnp.stack([-gx, jnp.ones_like(gx), -gz], axis=-1)
+    n_local = n_local / jnp.linalg.norm(n_local, axis=-1, keepdims=True)
+    dist = (cl[:, 1] - h) - r
+    n = quat.rotate(hq, n_local)
+    pa = cs - n * r[:, None]                        # sphere lowest point
+    pb = pa - n * dist[:, None]
+    point = 0.5 * (pa + pb)
+    return dist, pa, pb, point[:, None, :], n[:, None, :], dist[:, None]
+
+
+def _verts_heightmap(scene, pos, quat_b, pairs, nslots):
+    """A = vertex solid, B = heightmap: per-vertex contacts
+    (reference find_contacts_convex_heightmap)."""
+    ga = scene.pair_g1[pairs]
+    gb = scene.pair_g2[pairs]
+    sp, sq = geom_world_pose(scene, pos, quat_b, ga)
+    hp, hq = _heightmap_frame(scene, pos, quat_b, gb)
+    hm_idx = scene.geom_params[gb, 0].astype(jnp.int32)
+    rows = scene.geom_params[gb, 2].astype(jnp.int32)
+    cols = scene.geom_params[gb, 3].astype(jnp.int32)
+    verts = scene.geom_verts[ga][:, :nslots]
+    nv = scene.geom_nverts[ga]
+    vw = sp[:, None, :] + quat.rotate(sq[:, None, :], verts)
+    vl = quat.inverse_rotate(hq[:, None, :], vw - hp[:, None, :])
+    h, gx, gz = jax.vmap(
+        lambda hi, p, rr, cc: _hm_sample(scene, hi, p, rr, cc)
+    )(hm_idx, vl[:, :, [0, 2]], rows, cols)
+    n_local = jnp.stack([-gx, jnp.ones_like(gx), -gz], axis=-1)
+    n_local = n_local / jnp.linalg.norm(n_local, axis=-1, keepdims=True)
+    y = vl[:, :, 1] - h
+    valid = jnp.arange(nslots)[None, :] < nv[:, None]
+    sdist = jnp.where(valid, y, jnp.inf)
+    dist = jnp.min(sdist, axis=1)
+    n = quat.rotate(hq[:, None, :], n_local)
+    imin = jnp.argmin(sdist, axis=1)
+    pmin = jnp.take_along_axis(vw, imin[:, None, None], axis=1)[:, 0]
+    nmin = jnp.take_along_axis(n, imin[:, None, None], axis=1)[:, 0]
+    return dist, pmin, pmin - nmin * dist[:, None], vw, n, sdist
+
+
 _KERNELS = {
     sc.K_SPHERE_SPHERE: _sphere_sphere,
     sc.K_SPHERE_PLANE: _sphere_plane,
     sc.K_BOX_SPHERE: _box_sphere,
     sc.K_CYLINDER_PLANE: _cylinder_plane,
     sc.K_TORUS_PLANE: _torus_plane,
+    sc.K_SPHERE_HEIGHTMAP: _sphere_heightmap,
 }
 
 
@@ -372,6 +471,10 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
             )
         elif kind == sc.K_BOX_BOX:
             d, a, b, pts, nrm, sd = _box_box(
+                scene, pos, quat_b, pairs, grp["nslots"]
+            )
+        elif kind == sc.K_VERTS_HEIGHTMAP:
+            d, a, b, pts, nrm, sd = _verts_heightmap(
                 scene, pos, quat_b, pairs, grp["nslots"]
             )
         else:
