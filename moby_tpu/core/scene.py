@@ -61,6 +61,7 @@ K_TORUS_PLANE = 5     # A=torus, B=plane, 4 slots
 K_BOX_BOX = 6         # A=box, B=box: vertex-vs-box both ways, 2*vmax slots
 K_SPHERE_HEIGHTMAP = 7   # A=sphere, B=heightmap, 1 slot
 K_VERTS_HEIGHTMAP = 8    # A=vertex solid, B=heightmap, vmax slots
+K_CONVEX_CONVEX = 9      # A,B convex vertex clouds via GJK, 1 slot
 
 
 def _kind_nslots(kind: int, vmax: int) -> int:
@@ -76,6 +77,8 @@ def _kind_nslots(kind: int, vmax: int) -> int:
         return 1
     if kind == K_VERTS_HEIGHTMAP:
         return vmax
+    if kind == K_CONVEX_CONVEX:
+        return 1
     raise ValueError(f"unknown kind {kind}")
 
 
@@ -425,6 +428,10 @@ class SceneBuilder:
             return K_VERTS_HEIGHTMAP, False
         if ta == HEIGHTMAP and tb in (BOX, POLYHEDRON):
             return K_VERTS_HEIGHTMAP, True
+        if ta == POLYHEDRON and tb in (POLYHEDRON, BOX):
+            return K_CONVEX_CONVEX, False
+        if ta == BOX and tb == POLYHEDRON:
+            return K_CONVEX_CONVEX, False
         return None, False
 
     def compile(self):

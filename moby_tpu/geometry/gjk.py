@@ -1,0 +1,153 @@
+"""Batched GJK distance between convex vertex clouds.
+
+The reference uses GJK for generic convex pairs (src/GJK.cpp, via support
+points) and V-Clip for polyhedron pairs. This is the TPU-native form: fixed
+iteration count, fixed-size simplex, and the closest-point-on-simplex
+subproblem solved by enumerating all 15 vertex subsets with masked
+barycentric least squares (branch-free, vmappable) instead of Johnson's
+recursive subalgorithm.
+
+Support functions are vertex-cloud argmax dots; witness points on both
+shapes come from the same barycentrics, giving the closest-point pair used
+for contact generation and conservative advancement.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+MAX_ITERS = 32
+
+# all nonempty subsets of {0,1,2,3}
+_SUBSETS = np.array(
+    [[int(bool(m & (1 << i))) for i in range(4)] for m in range(1, 16)],
+    dtype=bool,
+)  # (15, 4)
+
+
+def _closest_on_simplex(W, active):
+    """Closest point to the origin on the convex hull of active rows of W.
+
+    W: (4, 3) simplex points; active: (4,) bool.
+    Returns (point (3,), barycentrics (4,), support mask (4,)).
+    """
+    dtype = W.dtype
+    subsets = jnp.asarray(_SUBSETS) & active[None, :]
+    # drop subsets that are not exactly their pattern (i.e. inactive members)
+    sub_valid = jnp.all(
+        (jnp.asarray(_SUBSETS) & ~active[None, :]) == False, axis=1  # noqa: E712
+    )
+
+    def solve_subset(mask):
+        m = mask.astype(dtype)
+        k = jnp.sum(m)
+        # minimize |sum_i b_i w_i|^2 s.t. sum b = 1, b_i = 0 off-mask
+        # normal equations with a Lagrange multiplier:
+        # [G 1; 1' 0][b; λ] = [0; 1],  G_ij = w_i·w_j  (masked)
+        G = W @ W.T
+        A = jnp.zeros((5, 5), dtype)
+        A = A.at[:4, :4].set(
+            jnp.where(mask[:, None] & mask[None, :], G, 0.0)
+            + jnp.diag(jnp.where(mask, 0.0, 1.0).astype(dtype))
+        )
+        A = A.at[:4, 4].set(m)
+        A = A.at[4, :4].set(m)
+        rhs = jnp.zeros(5, dtype).at[4].set(1.0)
+        sol = jnp.linalg.solve(A, rhs)
+        b = jnp.where(mask, sol[:4], 0.0)
+        feasible = jnp.all(b >= -1e-9) & jnp.all(jnp.isfinite(b))
+        p = b @ W
+        d2 = jnp.dot(p, p)
+        return p, b, feasible, d2
+
+    ps, bs, feas, d2s = jax.vmap(solve_subset)(subsets)
+    ok = feas & sub_valid
+    d2m = jnp.where(ok, d2s, jnp.inf)
+    best = jnp.argmin(d2m)
+    return ps[best], bs[best], jnp.asarray(_SUBSETS)[best] & active
+
+
+def support(verts, nv, d):
+    """argmax_{v in verts[:nv]} v·d (vertex-cloud support point)."""
+    dots = verts @ d
+    valid = jnp.arange(verts.shape[0]) < nv
+    i = jnp.argmax(jnp.where(valid, dots, -jnp.inf))
+    return verts[i]
+
+
+class GJKResult(NamedTuple):
+    dist: jnp.ndarray   # () separation distance (0 when intersecting)
+    pa: jnp.ndarray     # (3,) witness on A
+    pb: jnp.ndarray     # (3,) witness on B
+    intersecting: jnp.ndarray
+
+
+def gjk(verts_a, nva, verts_b, nvb, max_iters: int = MAX_ITERS) -> GJKResult:
+    """Distance between conv(verts_a[:nva]) and conv(verts_b[:nvb]),
+    both in the same (world) frame."""
+    dtype = verts_a.dtype
+
+    def sup_mink(d):
+        sa = support(verts_a, nva, d)
+        sb = support(verts_b, nvb, -d)
+        return sa - sb, sa, sb
+
+    w0, a0, b0 = sup_mink(jnp.array([1.0, 0.0, 0.0], dtype))
+    W = jnp.zeros((4, 3), dtype).at[0].set(w0)
+    WA = jnp.zeros((4, 3), dtype).at[0].set(a0)
+    WB = jnp.zeros((4, 3), dtype).at[0].set(b0)
+    active = jnp.array([True, False, False, False])
+
+    def body(carry):
+        W, WA, WB, active, v, it, done = carry
+        wnew, anew, bnew = sup_mink(-v)
+        # termination: no significant progress toward the origin
+        progress = jnp.dot(v, v) - jnp.dot(v, wnew)
+        v2 = jnp.dot(v, v)
+        close_enough = progress <= 1e-10 * jnp.maximum(v2, 1.0)
+
+        # insert the new point into a free slot
+        free = jnp.argmin(active)  # first False
+        ins = jnp.arange(4) == free
+        W2 = jnp.where(ins[:, None], wnew[None, :], W)
+        WA2 = jnp.where(ins[:, None], anew[None, :], WA)
+        WB2 = jnp.where(ins[:, None], bnew[None, :], WB)
+        act2 = active | ins
+
+        p, bary, keep = _closest_on_simplex(W2, act2)
+        contains_origin = jnp.dot(p, p) < 1e-18
+
+        # close_enough -> the OLD v/simplex is the converged answer;
+        # otherwise (including origin containment) adopt the new state
+        upd = ~close_enough
+        new_done = done | close_enough | contains_origin
+        return (
+            jnp.where(upd, W2, W),
+            jnp.where(upd, WA2, WA),
+            jnp.where(upd, WB2, WB),
+            jnp.where(upd, keep, active),
+            jnp.where(upd, p, v),
+            it + 1,
+            new_done,
+        )
+
+    def cond(carry):
+        *_, it, done = carry
+        return ~done & (it < max_iters)
+
+    v0 = w0
+    out = jax.lax.while_loop(
+        cond, body, (W, WA, WB, active, v0, jnp.int32(0), jnp.array(False))
+    )
+    W, WA, WB, active, v, _, done = out
+
+    p, bary, _ = _closest_on_simplex(W, active)
+    pa = bary @ WA
+    pb = bary @ WB
+    dist = jnp.linalg.norm(p)
+    intersecting = dist < 1e-9
+    return GJKResult(dist=dist, pa=pa, pb=pb, intersecting=intersecting)

@@ -428,6 +428,30 @@ def _verts_heightmap(scene, pos, quat_b, pairs, nslots):
     return dist, pmin, pmin - nmin * dist[:, None], vw, n, sdist
 
 
+def _convex_convex(scene, pos, quat_b, pairs):
+    """General convex pair via batched GJK on world-frame vertex clouds
+    (the reference's GJK generic narrow phase, src/GJK.cpp; single witness
+    contact like find_contacts_generic's signed-dist fallback)."""
+    from . import gjk as gjk_mod
+
+    ga = scene.pair_g1[pairs]
+    gb = scene.pair_g2[pairs]
+    pa_, qa = geom_world_pose(scene, pos, quat_b, ga)
+    pb_, qb = geom_world_pose(scene, pos, quat_b, gb)
+    va = pa_[:, None, :] + quat.rotate(qa[:, None, :], scene.geom_verts[ga])
+    vb = pb_[:, None, :] + quat.rotate(qb[:, None, :], scene.geom_verts[gb])
+    nva = scene.geom_nverts[ga]
+    nvb = scene.geom_nverts[gb]
+    res = jax.vmap(gjk_mod.gjk)(va, nva, vb, nvb)
+    d = res.dist
+    n = res.pa - res.pb
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.where(nn > 1e-12, n / jnp.maximum(nn, 1e-30),
+                  jnp.array([0.0, 0.0, 1.0], pos.dtype))
+    point = 0.5 * (res.pa + res.pb)
+    return d, res.pa, res.pb, point[:, None, :], n[:, None, :], d[:, None]
+
+
 _KERNELS = {
     sc.K_SPHERE_SPHERE: _sphere_sphere,
     sc.K_SPHERE_PLANE: _sphere_plane,
@@ -435,6 +459,7 @@ _KERNELS = {
     sc.K_CYLINDER_PLANE: _cylinder_plane,
     sc.K_TORUS_PLANE: _torus_plane,
     sc.K_SPHERE_HEIGHTMAP: _sphere_heightmap,
+    sc.K_CONVEX_CONVEX: _convex_convex,
 }
 
 
