@@ -312,10 +312,24 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
     h = c.h
 
     # forward dynamics + semi-implicit velocity update
+    # controller hook (ControlledBody::controller, src/Simulator.cpp:339-348):
+    # returns a generalized-force vector over the gc layout — per-free-body
+    # wrenches [f; τ] followed by articulated joint torques
     tau = None
+    u_free = None
     if controller is not None:
-        tau = controller(scene, st2)
+        u = controller(scene, st2)
+        nb6 = 6 * scene.nb
+        if scene.nb:
+            u_free = u[:nb6].reshape(scene.nb, 6)
+        if scene.nv_art:
+            tau = u[nb6:]
     a_lin, a_ang = forward_dynamics_free(scene, st2.quat, st2.omega, st2.vel)
+    if u_free is not None:
+        a_lin = a_lin + scene.inv_mass[:, None] * u_free[:, :3]
+        Rc = quat.to_matrix(st2.quat)
+        Iinv_w = Rc @ scene.inv_inertia @ jnp.swapaxes(Rc, -1, -2)
+        a_ang = a_ang + jnp.einsum("bij,bj->bi", Iinv_w, u_free[:, 3:])
     qdd = articulated_qdd(scene, st2, tau)
 
     if scene.has_compliant:
