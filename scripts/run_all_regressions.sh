@@ -1,0 +1,29 @@
+#!/bin/bash
+# Full golden-trajectory regression sweep (the reference's
+# regress/regression-test equivalent). Runs each scene at its golden timestep
+# on the float64 CPU backend and compares L-inf error against tolerance.
+#
+# Usage: scripts/run_all_regressions.sh [output-dir]
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/moby_tpu_regress}
+mkdir -p "$OUT"
+GOLD=/root/reference/regress
+FAIL=0
+
+run () {
+  local name=$1 tol=$2; shift 2
+  echo "=== $name ==="
+  python -m moby_tpu.cli.regress --cpu "$@" "$OUT/$name.out" || { FAIL=1; return; }
+  python -m moby_tpu.cli.compare "$GOLD/$name.dat" "$OUT/$name.out" "$tol" || FAIL=1
+}
+
+run sphere-stack 1e-4 -mt=1 /root/reference/example/stacks/sphere-stack.xml
+run sitting-box 1e-4 -s=0.001 -mt=10 scenes/sitting-box.xml
+run fixed-articulated-table 1e-2 -s=0.001 -mt=10 scenes/fixed-articulated-table.xml
+RIMLESS_WHEEL_THETAD=0.28920687 RIMLESS_WHEEL_START=pivot \
+  run rimless-wheel 1e-2 -s=0.001 -mt=8 -p=rimless_wheel x
+run contact-constrained-pendulum 1e-2 -s=0.001 -mt=10 -p=cc_pendulum x
+
+if [ $FAIL -eq 0 ]; then echo "ALL REGRESSIONS PASS"; else echo "FAILURES"; fi
+exit $FAIL
