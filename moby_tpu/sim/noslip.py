@@ -106,9 +106,7 @@ def solve_noslip(scene: sc.Scene, p: Problem, act, act_lim, nz):
     qq = jnp.concatenate([p.Cn_v, p.L_v]) - QX @ Yinv(Xv)
 
     vmask = jnp.concatenate([act, act_lim])
-    v_sol, ok = lcp.lcp_fast(MM, qq, vmask)
-    v2, _ = lcp.lcp_lemke_regularized(MM, qq, vmask)
-    v_sol = jnp.where(ok, v_sol, v2)
+    v_sol, _ok = lcp.solve_lcp_fast_lemke(MM, qq, vmask)
 
     cn = v_sol[:K]
     l = v_sol[K:]

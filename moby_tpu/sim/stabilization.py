@@ -97,9 +97,7 @@ def stabilize(scene: sc.Scene, st: sc.State) -> sc.State:
                 ]
             )
             mact = jnp.concatenate([act, all_lim])
-            z, ok = lcp.lcp_fast(MM, qq, mact)
-            z2, _ = lcp.lcp_lemke_regularized(MM, qq, mact)
-            z = jnp.where(ok, z, z2)
+            z, _ok = lcp.solve_lcp_fast_lemke(MM, qq, mact)
             zc = z[: scene.n_contacts]
             zl = z[scene.n_contacts :]
 

@@ -74,7 +74,7 @@ class _PPMState(NamedTuple):
     pivots: jnp.ndarray   # () int32
 
 
-def lcp_fast(M, q, mask, z0=None, zero_tol=-1.0):
+def lcp_fast(M, q, mask, z0=None, zero_tol=-1.0, skip=None):
     """Principal pivoting (reference `LCP::lcp_fast`, src/LCP.cpp:41).
 
     Args:
@@ -166,16 +166,18 @@ def lcp_fast(M, q, mask, z0=None, zero_tol=-1.0):
     def cond(s: _PPMState):
         return ~s.done & ~s.failed & (s.pivots < max_piv)
 
+    if skip is None:
+        skip = jnp.array(False)
     init = _PPMState(
         nonbas=nonbas0,
         z=jnp.zeros(n, dtype),
-        done=trivial,
+        done=trivial | skip,
         failed=jnp.array(False),
         pivots=jnp.array(0, jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, init)
-    z = jnp.where(mask & ~trivial, out.z, 0.0)
-    ok = out.done | trivial
+    z = jnp.where(mask & ~trivial & ~skip, out.z, 0.0)
+    ok = (out.done | trivial) & ~skip
     return z, ok
 
 
@@ -192,7 +194,8 @@ def _verify(M, q, z, mask, check_tol):
 
 
 def lcp_fast_regularized(
-    M, q, mask, z0=None, min_exp=-20, step_exp=4, max_exp=20, zero_tol=-1.0
+    M, q, mask, z0=None, min_exp=-20, step_exp=4, max_exp=20, zero_tol=-1.0,
+    skip=None,
 ):
     """Tikhonov-sweep wrapper around :func:`lcp_fast`
     (reference src/LCP.cpp:212-353).
@@ -213,16 +216,19 @@ def lcp_fast_regularized(
     lambdas = jnp.array([0.0 if e is None else 10.0 ** e for e in exps], dtype)
     n_attempts = len(exps)
 
+    if skip is None:
+        skip = jnp.array(False)
+
     def attempt(k):
         lam = lambdas[k]
         Mreg = M + lam * jnp.eye(n, dtype=dtype) * mask.astype(dtype)
-        z, ok = lcp_fast(Mreg, q, mask, z0=z0, zero_tol=zero_tol)
+        z, ok = lcp_fast(Mreg, q, mask, z0=z0, zero_tol=zero_tol, skip=skip)
         good = ok & _verify(Mreg, q, z, mask, check_tol)
         return z, good
 
     def cond(carry):
         k, z, good = carry
-        return (~good) & (k < n_attempts)
+        return (~good) & (k < n_attempts) & ~skip
 
     def body(carry):
         k, z, good = carry
@@ -245,7 +251,7 @@ class _LemkeState(NamedTuple):
     pivots: jnp.ndarray
 
 
-def lcp_lemke(M, q, mask, piv_tol=-1.0, zero_tol=-1.0):
+def lcp_lemke(M, q, mask, piv_tol=-1.0, zero_tol=-1.0, skip=None):
     """Lemke's algorithm (reference src/LCP.cpp:545-1003), cold-started.
 
     Variable ids: 0..n-1 -> z_i, n..2n-1 -> w_i, 2n -> artificial t.
@@ -269,8 +275,10 @@ def lcp_lemke(M, q, mask, piv_tol=-1.0, zero_tol=-1.0):
     ).astype(dtype)
 
     trivial = jnp.min(jnp.where(mask, q, jnp.inf)) > -ztol
+    if skip is None:
+        skip = jnp.array(False)
 
-    maxiter = jnp.minimum(1000, 50 * m_active)
+    maxiter = jnp.where(skip, 0, jnp.minimum(1000, 50 * m_active))
 
     # initial: basis = all w vars, Bl = -I, x = q
     arange = jnp.arange(n)
@@ -354,13 +362,14 @@ def lcp_lemke(M, q, mask, piv_tol=-1.0, zero_tol=-1.0):
     z = jnp.zeros(n, dtype).at[jnp.where(is_z, out.basvar, n - 1)].add(
         jnp.where(is_z, out.x, 0.0)
     )
-    z = jnp.where(mask & ~trivial, z, 0.0)
-    ok = trivial | (out.done & ~out.failed)
+    z = jnp.where(mask & ~trivial & ~skip, z, 0.0)
+    ok = (trivial | (out.done & ~out.failed)) & ~skip
     return z, ok
 
 
 def lcp_lemke_regularized(
-    M, q, mask, min_exp=-20, step_exp=1, max_exp=1, piv_tol=-1.0, zero_tol=-1.0
+    M, q, mask, min_exp=-20, step_exp=1, max_exp=1, piv_tol=-1.0, zero_tol=-1.0,
+    skip=None,
 ):
     """Tikhonov-sweep wrapper around :func:`lcp_lemke`
     (reference src/LCP.cpp:353-487)."""
@@ -377,15 +386,20 @@ def lcp_lemke_regularized(
     lambdas = jnp.array([0.0 if e is None else 10.0 ** e for e in exps], dtype)
     n_attempts = len(exps)
 
+    if skip is None:
+        skip = jnp.array(False)
+
     def cond(carry):
         k, z, good = carry
-        return (~good) & (k < n_attempts)
+        return (~good) & (k < n_attempts) & ~skip
 
     def body(carry):
         k, z, good = carry
         lam = lambdas[k]
         Mreg = M + lam * jnp.eye(n, dtype=dtype) * mask.astype(dtype)
-        z2, ok = lcp_lemke(Mreg, q, mask, piv_tol=piv_tol, zero_tol=zero_tol)
+        z2, ok = lcp_lemke(
+            Mreg, q, mask, piv_tol=piv_tol, zero_tol=zero_tol, skip=skip
+        )
         good2 = ok & _verify(Mreg, q, z2, mask, check_tol)
         return k + 1, jnp.where(good2, z2, z), good2
 
@@ -395,14 +409,198 @@ def lcp_lemke_regularized(
     return z, good
 
 
+class _SMState(NamedTuple):
+    nonbas: jnp.ndarray
+    Binv: jnp.ndarray     # inverse of the masked basis system
+    z: jnp.ndarray
+    done: jnp.ndarray
+    failed: jnp.ndarray
+    pivots: jnp.ndarray
+    since_refresh: jnp.ndarray
+
+
+def lcp_fast_sm(M, q, mask, z0=None, zero_tol=-1.0, refresh_every: int = 8):
+    """Principal pivoting with a Sherman–Morrison-maintained basis inverse.
+
+    Pivot-for-pivot identical to :func:`lcp_fast` (same selection rules), but
+    each pivot updates the inverse of the masked system with <= 4 rank-1
+    corrections (O(n²) work, O(1) sequential depth) instead of re-solving an
+    LU per pivot — the fix for the latency-bound pivot chain on TPU. The
+    inverse is refreshed by a full solve every `refresh_every` pivots to
+    bound drift; callers verify the solution and fall back to the exact
+    solver on failure.
+    """
+    n = q.shape[0]
+    dtype = M.dtype
+    M, q = pad_lcp(M, q, mask)
+    m_active = jnp.sum(mask)
+    auto_tol = m_active.astype(dtype) * _masked_norm_inf(M, mask) * _eps(dtype)
+    ztol = jnp.where(zero_tol < 0.0, auto_tol, zero_tol).astype(dtype)
+    eye = jnp.eye(n, dtype=dtype)
+
+    def masked_A(nb):
+        outer = nb[:, None] & nb[None, :]
+        return jnp.where(outer, M, 0.0) + jnp.diag(
+            jnp.where(nb, 0.0, 1.0).astype(dtype)
+        )
+
+    # initial basis (as in lcp_fast)
+    if z0 is None:
+        z0 = jnp.zeros(n, dtype)
+    z0 = jnp.where(mask, z0, 0.0)
+    warm = (jnp.abs(z0) >= ztol) & mask
+    cold_i = _first_min_index(q, mask)
+    cold_trivial = q[cold_i] > -ztol
+    empty = ~jnp.any(warm)
+    trivial = empty & cold_trivial
+    nonbas0 = jnp.where(empty, (jnp.arange(n) == cold_i) & mask & ~trivial, warm)
+
+    Binv0 = jnp.linalg.inv(masked_A(nonbas0))
+    max_piv = 2 * m_active
+
+    def sm_update(Binv, u, v):
+        """Binv of (A + u v^T)."""
+        Bu = Binv @ u
+        vB = v @ Binv
+        denom = 1.0 + v @ Bu
+        ok = jnp.abs(denom) > 1e-12
+        upd = Binv - jnp.outer(Bu, vB) / jnp.where(ok, denom, 1.0)
+        return jnp.where(ok, upd, Binv), ok
+
+    def add_index(Binv, nb_old, i_mask):
+        """Index i joins the nonbasic set; nb_new = nb_old | i_mask."""
+        nb_new = nb_old | i_mask
+        ei = i_mask.astype(dtype)
+        # row fix: e_i row -> M[i, nb_new]
+        newrow = (i_mask.astype(dtype) @ M) * nb_new.astype(dtype)
+        v1 = newrow - ei
+        B1, ok1 = sm_update(Binv, ei, v1)
+        # col fix: 0 -> M[nb_old, i] on the other rows
+        u2 = (M @ ei) * (nb_old.astype(dtype))
+        B2, ok2 = sm_update(B1, u2, ei)
+        return B2, nb_new, ok1 & ok2
+
+    def remove_index(Binv, nb_old, i_mask):
+        """Index i leaves the nonbasic set (reverse of add)."""
+        nb_new = nb_old & ~i_mask
+        ei = i_mask.astype(dtype)
+        # col unfix first
+        u2 = -(M @ ei) * nb_new.astype(dtype)
+        B1, ok1 = sm_update(Binv, u2, ei)
+        # row unfix: M[i, nb_old] row -> e_i
+        oldrow = (ei @ M) * (nb_old.astype(dtype))
+        v1 = ei - oldrow
+        B2, ok2 = sm_update(B1, ei, v1)
+        return B2, nb_new, ok1 & ok2
+
+    def body(s: _SMState):
+        nb = s.nonbas
+        z = jnp.where(nb, s.Binv @ jnp.where(nb, -q, 0.0), 0.0)
+        finite = jnp.all(jnp.isfinite(z))
+        bas = mask & ~nb
+        w = jnp.where(bas, M @ z + q, 0.0)
+
+        any_bas = jnp.any(bas)
+        minw_i = _first_min_index(w, bas)
+        minw = jnp.where(any_bas, w[minw_i], jnp.inf)
+        any_nb = jnp.any(nb)
+        minz_i = _first_min_index(z, nb)
+        minz = jnp.where(any_nb, z[minz_i], jnp.inf)
+
+        w_ok = ~any_bas | (minw > -ztol)
+        z_neg = any_nb & (minz < -ztol)
+        solved = w_ok & ~z_neg
+
+        in_mask = (jnp.arange(n) == minw_i) & (~w_ok & any_bas)
+        out_mask = (jnp.arange(n) == minz_i) & z_neg
+
+        # apply the add then the remove through SM updates
+        B1, nb1, okA = add_index(s.Binv, nb, in_mask)
+        B1 = jnp.where(jnp.any(in_mask), B1, s.Binv)
+        nb1 = jnp.where(jnp.any(in_mask), nb1, nb)
+        okA = okA | ~jnp.any(in_mask)
+        B2, nb2, okR = remove_index(B1, nb1, out_mask)
+        B2 = jnp.where(jnp.any(out_mask), B2, B1)
+        nb2 = jnp.where(jnp.any(out_mask), nb2, nb1)
+        okR = okR | ~jnp.any(out_mask)
+
+        # periodic refresh to bound drift
+        refresh = s.since_refresh + 1 >= refresh_every
+        B2 = jnp.where(refresh, jnp.linalg.inv(masked_A(nb2)), B2)
+
+        fail = ~finite | ~(okA & okR)
+        return _SMState(
+            nonbas=jnp.where(solved | fail, nb, nb2),
+            Binv=B2,
+            z=jnp.where(finite, z, s.z),
+            done=solved & finite,
+            failed=fail & ~solved,
+            pivots=s.pivots + 1,
+            since_refresh=jnp.where(refresh, 0, s.since_refresh + 1),
+        )
+
+    def cond(s: _SMState):
+        return ~s.done & ~s.failed & (s.pivots < max_piv)
+
+    init = _SMState(
+        nonbas=nonbas0,
+        Binv=Binv0,
+        z=jnp.zeros(n, dtype),
+        done=trivial,
+        failed=jnp.array(False),
+        pivots=jnp.array(0, jnp.int32),
+        since_refresh=jnp.array(0, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    z = jnp.where(mask & ~trivial, out.z, 0.0)
+    ok = out.done | trivial
+    return z, ok
+
+
+def solve_lcp_fast_lemke(M, q, mask, z0=None):
+    """`lcp_fast` then `lcp_lemke_regularized` (the cascade used by the
+    stabilization and no-slip paths, e.g. src/ConstraintStabilization.cpp:955),
+    with the Sherman–Morrison prepass + depth gating."""
+    dtype = M.dtype
+    Mp, qp = pad_lcp(M, q, mask)
+    m_active = jnp.sum(mask).astype(dtype)
+    near_zero = float(np.sqrt(_eps(dtype)))
+    check_tol = (m_active * _masked_norm_inf(Mp, mask) * near_zero).astype(dtype)
+
+    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0)
+    ok_sm = ok_sm & _verify(Mp, qp, z_sm, mask, check_tol)
+
+    z, ok = lcp_fast(M, q, mask, z0=z0, skip=ok_sm)
+    ok = ok & _verify(Mp, qp, z, mask, check_tol)
+    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=ok_sm | ok)
+    z_out = jnp.where(ok_sm, z_sm, jnp.where(ok, z, z2))
+    return z_out, ok_sm | ok | ok2
+
+
 def solve_lcp(M, q, mask, z0=None):
     """Production path mirroring the impact handler's solver cascade
     (reference src/ImpactConstraintHandlerQP.cpp:219-226):
     `lcp_fast_regularized(-20, 4, -8)` then `lcp_lemke_regularized` fallback.
+
+    A Sherman–Morrison pivoting pass runs first as a TPU fast path: its
+    solution is accepted only when it passes the same verification the
+    regularized wrappers use, so the cascade's semantics are unchanged
+    (monotone problems have unique solutions).
     """
+    dtype = M.dtype
+    Mp, qp = pad_lcp(M, q, mask)
+    m_active = jnp.sum(mask).astype(dtype)
+    near_zero = float(np.sqrt(_eps(dtype)))
+    check_tol = (m_active * _masked_norm_inf(Mp, mask) * near_zero).astype(dtype)
+
+    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0)
+    ok_sm = ok_sm & _verify(Mp, qp, z_sm, mask, check_tol)
+
     z, ok = lcp_fast_regularized(
-        M, q, mask, z0=z0, min_exp=-20, step_exp=4, max_exp=-8
+        M, q, mask, z0=z0, min_exp=-20, step_exp=4, max_exp=-8, skip=ok_sm
     )
-    z2, ok2 = lcp_lemke_regularized(M, q, mask)
-    z = jnp.where(ok, z, z2)
-    return z, ok | ok2
+    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=ok_sm | ok)
+    z_exact = jnp.where(ok, z, z2)
+    ok_exact = ok | ok2
+    z_out = jnp.where(ok_sm, z_sm, z_exact)
+    return z_out, ok_sm | ok_exact
