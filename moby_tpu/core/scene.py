@@ -572,6 +572,21 @@ class SceneBuilder:
             # hierarchy geom->body->abody, ConstraintSimulator.cpp:82-155)
             return self.arts[k].name
 
+        def slot_names_all(s):
+            """Names this slot answers to for DisabledPair matching: the
+            body/link name and (for links) the articulated-body name."""
+            kind, k, l = slot_owner[s]
+            if kind == "free":
+                return [self.bodies[k].name]
+            return [self.arts[k].link_names[l], self.arts[k].name]
+
+        def pair_disabled(si, sj):
+            for a in slot_names_all(si):
+                for b in slot_names_all(sj):
+                    if tuple(sorted((a, b))) in self.disabled_pairs:
+                        return True
+            return False
+
         pair_rows = []
         for i in range(ng):
             for j in range(i + 1, ng):
@@ -583,8 +598,7 @@ class SceneBuilder:
                 # unless geometry-less.
                 if not (slot_enabled[si] or slot_enabled[sj]):
                     continue
-                ni, nj = slot_cp_name(si), slot_cp_name(sj)
-                if tuple(sorted((ni, nj))) in self.disabled_pairs:
+                if pair_disabled(si, sj):
                     continue
                 ta, tb = all_geoms[i].gtype, all_geoms[j].gtype
                 kind, flip = self._pair_kind(ta, tb)
