@@ -27,7 +27,7 @@ from ..sim.stepper import forward_dynamics_free, integrate_art_q
 from ..solvers.difflcp import solve_lcp_diff
 
 
-def _diff_lcp(M, q, mask, z0):
+def _diff_lcp(M, q, mask, z0, skip=None):
     return solve_lcp_diff(M, q, mask, z0), jnp.array(True)
 
 

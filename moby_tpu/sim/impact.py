@@ -319,7 +319,9 @@ def resolve_impacts(
     pivoting cascade; the MPC layer substitutes the IFT-differentiable solve.
     """
     if lcp_solver is None:
-        lcp_solver = lambda M, q, m, z0: lcp.solve_lcp(M, q, m, z0=z0)
+        lcp_solver = lambda M, q, m, z0, skip=None: lcp.solve_lcp(
+            M, q, m, z0=z0, skip=skip
+        )
     dtype = st.pos.dtype
     nz = cfg.near_zero(dtype)
     K = scene.n_contacts
@@ -367,7 +369,9 @@ def resolve_impacts(
         L_v=L_v2,
     )
     MM2, qq2, _ = build_qp_lcp(scene, p2, act, act_lim)
-    z3, _ = lcp_solver(MM2, qq2, mask, z)
+    # the second impact solve only matters when restitution re-triggers
+    # impacts — gate its pivot loops out otherwise (depth saving)
+    z3, _ = lcp_solver(MM2, qq2, mask, z, skip=~need_resolve)
     cn3, cs3, ct3, l3 = unstack_impulses(scene, z3)
     dv3 = impulse_dv(scene, p2, cn3, cs3, ct3, l3)
 

@@ -78,7 +78,7 @@ def select_st_indices(p: Problem, act, near_zero):
     return jax.lax.fori_loop(0, K, body, (sS0, sT0))
 
 
-def solve_noslip(scene: sc.Scene, p: Problem, act, act_lim, nz):
+def solve_noslip(scene: sc.Scene, p: Problem, act, act_lim, nz, skip=None):
     """One no-slip solve. Returns (cn, cs, ct, l, dv)."""
     K = scene.n_contacts
     NL = scene.n_limits
@@ -106,7 +106,7 @@ def solve_noslip(scene: sc.Scene, p: Problem, act, act_lim, nz):
     qq = jnp.concatenate([p.Cn_v, p.L_v]) - QX @ Yinv(Xv)
 
     vmask = jnp.concatenate([act, act_lim])
-    v_sol, _ok = lcp.solve_lcp_fast_lemke(MM, qq, vmask)
+    v_sol, _ok = lcp.solve_lcp_fast_lemke(MM, qq, vmask, skip=skip)
 
     cn = v_sol[:K]
     l = v_sol[K:]
@@ -160,7 +160,11 @@ def resolve_impacts_noslip(
         Ct_v=p.Ct_v + p.Jt @ (dv1 + dv2),
         L_v=L_v2,
     )
-    cn3, cs3, ct3, l3, dv3 = solve_noslip(scene, p2, act, act_lim, nz)
+    # the second solve only matters when restitution re-triggers impacts —
+    # gate its pivot loops out otherwise (depth saving)
+    cn3, cs3, ct3, l3, dv3 = solve_noslip(
+        scene, p2, act, act_lim, nz, skip=~need_resolve
+    )
 
     dv = jnp.where(
         need_resolve, dv1 + dv2 + dv3, jnp.where(changed, dv1 + dv2, dv1)

@@ -419,7 +419,8 @@ class _SMState(NamedTuple):
     since_refresh: jnp.ndarray
 
 
-def lcp_fast_sm(M, q, mask, z0=None, zero_tol=-1.0, refresh_every: int = 8):
+def lcp_fast_sm(M, q, mask, z0=None, zero_tol=-1.0, refresh_every: int = 8,
+                skip=None):
     """Principal pivoting with a Sherman–Morrison-maintained basis inverse.
 
     Pivot-for-pivot identical to :func:`lcp_fast` (same selection rules), but
@@ -542,22 +543,24 @@ def lcp_fast_sm(M, q, mask, z0=None, zero_tol=-1.0, refresh_every: int = 8):
     def cond(s: _SMState):
         return ~s.done & ~s.failed & (s.pivots < max_piv)
 
+    if skip is None:
+        skip = jnp.array(False)
     init = _SMState(
         nonbas=nonbas0,
         Binv=Binv0,
         z=jnp.zeros(n, dtype),
-        done=trivial,
+        done=trivial | skip,
         failed=jnp.array(False),
         pivots=jnp.array(0, jnp.int32),
         since_refresh=jnp.array(0, jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, init)
-    z = jnp.where(mask & ~trivial, out.z, 0.0)
-    ok = out.done | trivial
+    z = jnp.where(mask & ~trivial & ~skip, out.z, 0.0)
+    ok = (out.done | trivial) & ~skip
     return z, ok
 
 
-def solve_lcp_fast_lemke(M, q, mask, z0=None):
+def solve_lcp_fast_lemke(M, q, mask, z0=None, skip=None):
     """`lcp_fast` then `lcp_lemke_regularized` (the cascade used by the
     stabilization and no-slip paths, e.g. src/ConstraintStabilization.cpp:955),
     with the Sherman–Morrison prepass + depth gating."""
@@ -567,17 +570,19 @@ def solve_lcp_fast_lemke(M, q, mask, z0=None):
     near_zero = float(np.sqrt(_eps(dtype)))
     check_tol = (m_active * _masked_norm_inf(Mp, mask) * near_zero).astype(dtype)
 
-    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0)
+    if skip is None:
+        skip = jnp.array(False)
+    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0, skip=skip)
     ok_sm = ok_sm & _verify(Mp, qp, z_sm, mask, check_tol)
 
-    z, ok = lcp_fast(M, q, mask, z0=z0, skip=ok_sm)
+    z, ok = lcp_fast(M, q, mask, z0=z0, skip=ok_sm | skip)
     ok = ok & _verify(Mp, qp, z, mask, check_tol)
-    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=ok_sm | ok)
+    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=ok_sm | ok | skip)
     z_out = jnp.where(ok_sm, z_sm, jnp.where(ok, z, z2))
     return z_out, ok_sm | ok | ok2
 
 
-def solve_lcp(M, q, mask, z0=None):
+def solve_lcp(M, q, mask, z0=None, skip=None):
     """Production path mirroring the impact handler's solver cascade
     (reference src/ImpactConstraintHandlerQP.cpp:219-226):
     `lcp_fast_regularized(-20, 4, -8)` then `lcp_lemke_regularized` fallback.
@@ -593,13 +598,16 @@ def solve_lcp(M, q, mask, z0=None):
     near_zero = float(np.sqrt(_eps(dtype)))
     check_tol = (m_active * _masked_norm_inf(Mp, mask) * near_zero).astype(dtype)
 
-    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0)
+    if skip is None:
+        skip = jnp.array(False)
+    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0, skip=skip)
     ok_sm = ok_sm & _verify(Mp, qp, z_sm, mask, check_tol)
 
     z, ok = lcp_fast_regularized(
-        M, q, mask, z0=z0, min_exp=-20, step_exp=4, max_exp=-8, skip=ok_sm
+        M, q, mask, z0=z0, min_exp=-20, step_exp=4, max_exp=-8,
+        skip=ok_sm | skip,
     )
-    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=ok_sm | ok)
+    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=ok_sm | ok | skip)
     z_exact = jnp.where(ok, z, z2)
     ok_exact = ok | ok2
     z_out = jnp.where(ok_sm, z_sm, z_exact)
