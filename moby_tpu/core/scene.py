@@ -176,6 +176,9 @@ class Scene:
     # all contacts have mu >= 100 -> the no-slip MLCP model
     # (ImpactConstraintHandler::apply_model's `all_inf` branch, :123-131)
     use_noslip: bool = struct.field(pytree_node=False, default=False)
+    # any contact requests the true friction cone (NK = UINF) -> the NQP
+    # model for the whole problem (use_qp_solver, :629-640)
+    use_nqp: bool = struct.field(pytree_node=False, default=False)
     has_compliant: bool = struct.field(pytree_node=False, default=False)
     # constraint-stabilization iteration cap (XML
     # constraint-stabilization-max-iterations; 0 disables)
@@ -249,7 +252,9 @@ class ContactParams:
     epsilon: float = 0.0
     mu_coulomb: float = 0.0
     mu_viscous: float = 0.0
-    nk: int = 4
+    nk: int = 4            # friction-cone edges; <= 0 means the true cone
+                           # (reference contact_NK == UINF -> NQP model,
+                           # ImpactConstraintHandler::use_qp_solver :629)
     compliance: float = 0.0
     penalty_kp: float = 0.0
     penalty_kv: float = 0.0
@@ -622,7 +627,7 @@ class SceneBuilder:
         # contact slots
         s_pair, s_s1, s_s2 = [], [], []
         s_eps, s_mu_c, s_mu_v, s_comp, s_nk = [], [], [], [], []
-        s_compliant, s_kp, s_kv = [], [], []
+        s_compliant, s_kp, s_kv, s_truecone = [], [], [], []
 
         def _body_compliant(slot):
             kind, k, l = slot_owner[slot]
@@ -646,7 +651,9 @@ class SceneBuilder:
                 s_mu_c.append(cp.mu_coulomb)
                 s_mu_v.append(cp.mu_viscous)
                 s_comp.append(cp.compliance)
-                s_nk.append(max(4, cp.nk))
+                # nk <= 0 = true cone (NQP); friction rows are then unused
+                s_nk.append(max(4, cp.nk) if cp.nk > 0 else 4)
+                s_truecone.append(cp.nk <= 0)
                 s_compliant.append(_body_compliant(s1) or _body_compliant(s2))
                 s_kp.append(cp.penalty_kp)
                 s_kv.append(cp.penalty_kv)
@@ -812,6 +819,12 @@ class SceneBuilder:
                     m >= 1e2 for m, c in zip(s_mu_c, s_compliant) if not c
                 )
                 and not all(s_compliant)
+            ),
+            use_nqp=bool(
+                K > 0
+                and any(
+                    t for t, c in zip(s_truecone, s_compliant) if not c
+                )
             ),
             has_compliant=bool(any(s_compliant)),
             stab_max_iters=int(self.stab_max_iters),

@@ -286,7 +286,7 @@ def load(path: str, post_build=None):
                 epsilon=float(c.get("epsilon", 0.0)),
                 mu_coulomb=_parse_mu(c.get("mu-coulomb", "0")),
                 mu_viscous=float(c.get("mu-viscous", 0.0)),
-                nk=int(float(c.get("friction-cone-edges", 4))),
+                nk=_parse_nk(c.get("friction-cone-edges", "4")),
                 compliance=float(c.get("compliance", 0.0)),
                 penalty_kp=float(c.get("penalty-kp", 0.0)),
                 penalty_kv=float(c.get("penalty-kv", 0.0)),
@@ -567,6 +567,16 @@ def _parse_mu(s):
     if s in ("inf", "infinity"):
         return 1e8
     return float(s)
+
+
+def _parse_nk(s):
+    """friction-cone-edges; "inf"/"UINF" = true cone (reference contact_NK ==
+    UINF selects the NQP model, ImpactConstraintHandler.cpp:629-640)."""
+    s = s.strip().lower()
+    if s in ("inf", "infinity", "uinf"):
+        return 0
+    v = int(float(s))
+    return v if v > 0 else 0
 
 
 def _quat_mul(q1, q2):

@@ -1,0 +1,282 @@
+"""True-friction-cone (NQP) impact model.
+
+Mirrors the reference's nonlinearly-constrained QP path
+(`ImpactConstraintHandler::solve_nqp` / `solve_nqp_work`,
+src/ImpactConstraintHandlerNQP.cpp:51-348, constraint functions in
+src/NQP_IPOPT.cpp:311-470), selected when any contact uses an infinite
+friction-cone edge count (`use_qp_solver`,
+src/ImpactConstraintHandler.cpp:629-640).
+
+The problem (src/ImpactConstraintHandlerNQP.cpp:157-241 builds H, c):
+
+    minimize    1/2 x' H x + c' x          x = [cn, cs, ct, l]
+    subject to  cn >= 0, l >= 0            (NQP_IPOPT::get_bounds_info)
+                Cn_blk x + Cn_v >= 0       (non-interpenetration)
+                L_blk  x + L_v  >= 0       (joint limits)
+                sum(Cn_blk x + Cn_v) <= kappa   (energy/kappa constraint)
+                cs_i^2 + ct_i^2 <= mu_i^2 cn_i^2 + mu_visc_i   per contact
+                                           (NQP_IPOPT::eval_g :419)
+
+with H the Delassus operator over [Cn; Cs; Ct; L] rows, c the pre-impact
+constraint velocities, mu_visc_i = (Cs_v_i^2 + Ct_v_i^2) * mu_viscous_i^2
+(src/ImpactConstraintHandlerNQP.cpp:100-106), and kappa the total post-impact
+normal velocity of a frictionless solve (`solve_lcp`,
+src/ImpactConstraintHandler.cpp:1480-1527).
+
+TPU-native design: instead of the reference's IPOPT interior-point solve
+(dynamic iteration counts, line searches, sparse factorizations), we solve
+the convex cone program with a fixed-shape augmented-Lagrangian / accelerated
+projected gradient (ALM-APGD) scheme:
+
+* the second-order-cone + box constraints on x are handled by a closed-form
+  per-contact projection (vectorized over contacts);
+* the linear inequality constraints ride the augmented Lagrangian with a
+  fixed number of multiplier updates;
+* step size 1/L with L from a fixed-iteration power method; Nesterov
+  momentum with gradient restart.
+
+Everything is fixed-iteration, fixed-shape, mask-padded: it `vmap`s over
+scenario batches and `jit`s whole, with zero data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import config as cfg
+from ..core import scene as sc
+from ..solvers import lcp
+from .impact import ImpactResult, Problem, _active, assemble_problem
+from .noslip import _min_vel
+
+# fixed iteration budget (ALM outer x APGD inner)
+OUTER_ITERS = 8
+INNER_ITERS = 48
+POWER_ITERS = 12
+
+
+def _build_hc(p: Problem):
+    """Stack the Delassus operator H and velocity vector c over
+    [Cn; Cs; Ct; L] rows (src/ImpactConstraintHandlerNQP.cpp:157-241)."""
+    H = jnp.block(
+        [
+            [p.Ann, p.Ans, p.Ant, p.Anl],
+            [p.Ans.T, p.Ass, p.Ast, p.Asl],
+            [p.Ant.T, p.Ast.T, p.Att, p.Atl],
+            [p.Anl.T, p.Asl.T, p.Atl.T, p.All],
+        ]
+    )
+    c = jnp.concatenate([p.Cn_v, p.Cs_v, p.Ct_v, p.L_v])
+    return H, c
+
+
+def _cone_project(n, s, t, mu, k, act):
+    """Euclidean projection onto {cn >= 0, cs^2 + ct^2 <= mu^2 cn^2 + k}.
+
+    For k = 0 this is the exact second-order-cone projection. For k > 0
+    (viscous friction floor, NQP_IPOPT::eval_g :419) the set is a hyperboloid
+    shell; we use the substitution n~ = sqrt(n^2 + k/mu^2), which maps it to
+    the cone r <= mu n~, project there, and map back — an O(1) fixed-shape
+    approximation exact at k = 0 (the overwhelmingly common case:
+    mu_viscous = 0).
+    """
+    eps = 1e-30
+    mu = jnp.maximum(mu, 0.0)
+    n = jnp.maximum(n, 0.0)
+    r = jnp.sqrt(s * s + t * t + eps)
+
+    # mu == 0: ball of radius sqrt(k) in the tangent plane
+    rad0 = jnp.sqrt(jnp.maximum(k, 0.0))
+    scale0 = jnp.minimum(1.0, rad0 / r)
+
+    # mu > 0: shifted SOC projection
+    shift = jnp.where(mu > 0, k / jnp.maximum(mu * mu, eps), 0.0)
+    nt = jnp.sqrt(n * n + shift)
+    inside = r <= mu * nt
+    polar = mu * r <= -nt  # unreachable since nt >= 0, kept for clarity
+    nt_p = (nt + mu * r) / (1.0 + mu * mu)
+    scale = jnp.where(inside, 1.0, mu * nt_p / r)
+    nt_out = jnp.where(inside, nt, jnp.where(polar, 0.0, nt_p))
+    n_out = jnp.sqrt(jnp.maximum(nt_out * nt_out - shift, 0.0))
+
+    n_new = jnp.where(mu > 0, jnp.where(inside, n, n_out), n)
+    s_new = jnp.where(mu > 0, s * scale, s * scale0)
+    t_new = jnp.where(mu > 0, t * scale, t * scale0)
+    m = act.astype(n.dtype)
+    return n_new * m, s_new * m, t_new * m
+
+
+def _kappa(p: Problem, act, act_lim, skip=None):
+    """Frictionless LCP pre-solve; kappa = total post-impact normal velocity
+    (`solve_lcp`, src/ImpactConstraintHandler.cpp:1480-1527)."""
+    K = p.Cn_v.shape[0]
+    MM = jnp.block([[p.Ann, p.Anl], [p.Anl.T, p.All]])
+    qq = jnp.concatenate([p.Cn_v, p.L_v])
+    mask = jnp.concatenate([act, act_lim])
+    z, _ = lcp.solve_lcp_fast_lemke(MM, qq, mask, skip=skip)
+    cn = z[:K]
+    lz = z[K:]
+    vplus = p.Ann @ cn + p.Anl @ lz + p.Cn_v
+    return jnp.sum(jnp.where(act, vplus, 0.0))
+
+
+def solve_nqp(scene: sc.Scene, p: Problem, act, act_lim, skip=None):
+    """One NQP solve. Returns (cn, cs, ct, l, dv)."""
+    K = scene.n_contacts
+    NL = scene.n_limits
+    dtype = p.Ann.dtype
+    n = 3 * K + NL
+
+    H, c = _build_hc(p)
+    vmask = jnp.concatenate([act, act, act, act_lim]).astype(dtype)
+    H = H * vmask[:, None] * vmask[None, :]
+    c = c * vmask
+
+    mu = scene.slot_mu_c
+    k_visc = (p.Cs_v**2 + p.Ct_v**2) * scene.slot_mu_v**2
+
+    kap = _kappa(p, act, act_lim, skip=skip)
+
+    # linear inequalities A x + b >= 0:
+    #   rows 0..K:      post-impact normal velocities  (Cn_blk = H[:K])
+    #   rows K..K+NL:   post-impact limit velocities   (L_blk = H[3K:])
+    #   last row:       kappa - sum of normal velocities
+    Hn = H[:K]
+    Hl = H[3 * K :]
+    A = jnp.concatenate([Hn, Hl, -jnp.sum(Hn, axis=0, keepdims=True)], axis=0)
+    b = jnp.concatenate(
+        [
+            p.Cn_v,
+            p.L_v,
+            (kap - jnp.sum(jnp.where(act, p.Cn_v, 0.0)))[None],
+        ]
+    )
+    cmask = jnp.concatenate(
+        [act, act_lim, jnp.any(act)[None]]
+    ).astype(dtype)
+    A = A * cmask[:, None]
+    b = jnp.where(cmask > 0, b, 1.0)  # inert rows: trivially satisfied
+
+    # penalty weight on the Delassus scale
+    hnorm = jnp.maximum(jnp.max(jnp.abs(H)), 1e-12)
+    rho = hnorm
+
+    # Lipschitz bound for grad(f + quadratic penalty) by power iteration on
+    # H + rho A'A (fixed POWER_ITERS sweeps)
+    def pw(_, v):
+        w = H @ v + rho * (A.T @ (A @ v))
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v0 = jnp.full((n,), 1.0 / jnp.sqrt(n), dtype)
+    v = jax.lax.fori_loop(0, POWER_ITERS, pw, v0)
+    L = jnp.linalg.norm(H @ v + rho * (A.T @ (A @ v))) * 1.2 + 1e-12
+    step = 1.0 / L
+
+    def project(x):
+        cn, cs, ct, lz = x[:K], x[K : 2 * K], x[2 * K : 3 * K], x[3 * K :]
+        cn, cs, ct = _cone_project(cn, cs, ct, mu, k_visc, act)
+        lz = jnp.maximum(lz, 0.0) * act_lim.astype(dtype)
+        return jnp.concatenate([cn, cs, ct, lz])
+
+    def grad(x, lam):
+        sgap = A @ x + b
+        pen = jnp.maximum(lam - rho * sgap, 0.0)  # PHR multiplier estimate
+        return H @ x + c - A.T @ pen
+
+    def inner(carry, lam):
+        x0 = carry
+
+        def apgd(i, s_):
+            x, y, xp = s_
+            g = grad(y, lam)
+            x_new = project(y - step * g)
+            # gradient restart: kill momentum when it points uphill
+            mom = jnp.where(
+                jnp.vdot(y - x_new, x_new - x) > 0, 0.0, (i) / (i + 3.0)
+            ).astype(dtype)
+            y_new = x_new + mom * (x_new - x)
+            return x_new, y_new, x
+
+        x, _, _ = jax.lax.fori_loop(0, INNER_ITERS, apgd, (x0, x0, x0))
+        return x
+
+    def outer(_, carry):
+        x, lam = carry
+        x = inner(x, lam)
+        lam = jnp.maximum(lam - rho * (A @ x + b), 0.0) * cmask
+        return x, lam
+
+    x0 = jnp.zeros(n, dtype)
+    lam0 = jnp.zeros(K + NL + 1, dtype)
+    x, _lam = jax.lax.fori_loop(0, OUTER_ITERS, outer, (x0, lam0))
+    x = project(x)
+
+    cn, cs, ct, lz = x[:K], x[K : 2 * K], x[2 * K : 3 * K], x[3 * K :]
+    dv = p.Minv @ (p.Jn.T @ cn + p.Js.T @ cs + p.Jt.T @ ct + p.Jl.T @ lz)
+    if skip is not None:
+        z = jnp.zeros_like
+        cn, cs, ct, lz, dv = jax.tree_util.tree_map(
+            lambda a: jnp.where(skip, jnp.zeros_like(a), a),
+            (cn, cs, ct, lz, dv),
+        )
+    return cn, cs, ct, lz, dv
+
+
+def resolve_impacts_nqp(
+    scene: sc.Scene, st, pt, con, zlast, zlast_active
+) -> ImpactResult:
+    """Full NQP pipeline with Poisson restitution + conditional re-solve
+    (`apply_model`'s solve_nqp branch + `apply_restitution`,
+    src/ImpactConstraintHandler.cpp:562-602)."""
+    dtype = st.pos.dtype
+    nz = cfg.near_zero(dtype)
+    K = scene.n_contacts
+
+    act, act_lim, _cn_vel, _lim_vel = _active(scene, st, pt, con, nz)
+    any_impact = jnp.any(act)
+    if scene.n_limits:
+        any_impact = any_impact | jnp.any(act_lim)
+
+    p = assemble_problem(scene, st, pt, con, act, act_lim)
+    cn1, cs1, ct1, l1, dv1 = solve_nqp(scene, p, act, act_lim)
+
+    Cn_v1 = p.Cn_v + p.Ann @ cn1 + p.Ans @ cs1 + p.Ant @ ct1 + p.Anl @ l1
+    L_v1 = p.L_v + p.Anl.T @ cn1 + p.Asl.T @ cs1 + p.Atl.T @ ct1 + p.All @ l1
+    minv = _min_vel(Cn_v1, act, L_v1, act_lim)
+
+    # restitution: cn, l scale; tangentials kept (apply_restitution,
+    # src/ImpactConstraintHandler.cpp:496-524)
+    cn2 = cn1 * scene.slot_eps
+    l2 = l1 * scene.lim_eps
+    changed = jnp.any(cn2 > nz)
+    if scene.n_limits:
+        changed = changed | jnp.any(l2 > nz)
+
+    dv2 = p.Minv @ (p.Jn.T @ cn2 + p.Jl.T @ l2)
+    Cn_v2 = Cn_v1 + p.Ann @ cn2 + p.Anl @ l2
+    L_v2 = L_v1 + p.Anl.T @ cn2 + p.All @ l2
+    minv_plus = _min_vel(Cn_v2, act, L_v2, act_lim)
+    need_resolve = changed & (minv_plus < 0.0) & (minv_plus < minv - nz)
+
+    p2 = p._replace(
+        Cn_v=Cn_v2,
+        Cs_v=p.Cs_v + p.Js @ (dv1 + dv2),
+        Ct_v=p.Ct_v + p.Jt @ (dv1 + dv2),
+        L_v=L_v2,
+    )
+    cn3, _cs3, _ct3, _l3, dv3 = solve_nqp(
+        scene, p2, act, act_lim, skip=~need_resolve
+    )
+
+    dv = jnp.where(
+        need_resolve, dv1 + dv2 + dv3, jnp.where(changed, dv1 + dv2, dv1)
+    )
+    dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
+    cn_total = jnp.where(
+        any_impact,
+        cn1 + jnp.where(changed, cn2, 0.0) + jnp.where(need_resolve, cn3, 0.0),
+        jnp.zeros(K, dtype),
+    )
+    za_out = jnp.where(any_impact, act, zlast_active)
+    return ImpactResult(dv, zlast, za_out, cn_total)

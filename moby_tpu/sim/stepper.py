@@ -394,10 +394,18 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
             # rigid impact LCP (find_unilateral_constraints' rigid/compliant
             # split, ConstraintSimulator.cpp:510-520)
             con = con._replace(active=con.active & ~scene.slot_compliant)
+        # model dispatch order matches apply_model: all-infinite-mu no-slip
+        # first (:123-131), then NQP when any true cone (use_qp_solver :563)
         if scene.use_noslip:
             from . import noslip
 
             res = noslip.resolve_impacts_noslip(
+                scene, st2, pt, con, st.zlast, st.zlast_active
+            )
+        elif scene.use_nqp:
+            from . import nqp
+
+            res = nqp.resolve_impacts_nqp(
                 scene, st2, pt, con, st.zlast, st.zlast_active
             )
         else:
