@@ -62,6 +62,7 @@ K_BOX_BOX = 6         # A=box, B=box: vertex-vs-box both ways, 2*vmax slots
 K_SPHERE_HEIGHTMAP = 7   # A=sphere, B=heightmap, 1 slot
 K_VERTS_HEIGHTMAP = 8    # A=vertex solid, B=heightmap, vmax slots
 K_CONVEX_CONVEX = 9      # A,B convex vertex clouds via GJK, 1 slot
+K_CONE_PLANE = 10        # A=cone, B=plane, 4 slots
 
 
 def _kind_nslots(kind: int, vmax: int) -> int:
@@ -69,7 +70,7 @@ def _kind_nslots(kind: int, vmax: int) -> int:
         return 1
     if kind == K_PLANE_GENERIC:
         return vmax
-    if kind in (K_CYLINDER_PLANE, K_TORUS_PLANE):
+    if kind in (K_CYLINDER_PLANE, K_TORUS_PLANE, K_CONE_PLANE):
         return 4
     if kind == K_BOX_BOX:
         return 2 * vmax
@@ -419,6 +420,10 @@ class SceneBuilder:
             return K_CYLINDER_PLANE, False
         if ta == PLANE and tb == CYLINDER:
             return K_CYLINDER_PLANE, True
+        if ta == CONE and tb == PLANE:
+            return K_CONE_PLANE, False
+        if ta == PLANE and tb == CONE:
+            return K_CONE_PLANE, True
         if ta == TORUS and tb == PLANE:
             return K_TORUS_PLANE, False
         if ta == PLANE and tb == TORUS:
@@ -553,7 +558,7 @@ class SceneBuilder:
                 r = off + g.params[0]
             elif t == BOX:
                 r = off + float(np.linalg.norm(g.params[:3]))
-            elif t == CYLINDER:
+            elif t in (CYLINDER, CONE):
                 r = off + float(math.hypot(g.params[0], g.params[1] / 2))
             elif t == TORUS:
                 r = off + float(g.params[0] + g.params[1])

@@ -211,6 +211,76 @@ def _cylinder_plane(scene, pos, quat_b, pairs):
     return dist, pa, pb, pts, n, sdist
 
 
+def _cone_plane(scene, pos, quat_b, pairs):
+    """A = cone (axis = local Y, apex at +H/2, base radius R at -H/2:
+    ConePrimitive::calc_signed_dist, src/ConePrimitive.cpp:110-150),
+    B = plane. Cases: base resting -> 4 rim points; slant resting (axis/plane
+    angle = half-angle) -> apex + lowest rim point; otherwise the single
+    lowest feature (apex or base rim)."""
+    ga = scene.pair_g1[pairs]
+    gb = scene.pair_g2[pairs]
+    cp_, cq = geom_world_pose(scene, pos, quat_b, ga)
+    pp, pq = geom_world_pose(scene, pos, quat_b, gb)
+    R = scene.geom_params[ga, 0]
+    H = scene.geom_params[ga, 1]
+    dtype = pos.dtype
+    up = quat.rotate(pq, jnp.array([0.0, 1.0, 0.0], dtype=dtype))
+    axis = quat.rotate(cq, jnp.array([0.0, 1.0, 0.0], dtype=dtype))
+    n_dot = jnp.sum(up * axis, axis=-1)
+
+    apex = cp_ + axis * (H / 2)[..., None]
+    base = cp_ - axis * (H / 2)[..., None]
+
+    # lowest point of the base rim: walk R down-plane from the base center
+    radial = jnp.cross(axis, jnp.cross(axis, up))
+    rn = jnp.linalg.norm(radial, axis=-1, keepdims=True)
+    t1, t2 = orthonormal_basis(axis)
+    radial = jnp.where(rn > 1e-12, radial / jnp.maximum(rn, 1e-30), t1)
+    rim_low = base + radial * R[..., None]
+
+    d_apex = jnp.sum((apex - pp) * up, axis=-1)
+    d_rim = jnp.sum((rim_low - pp) * up, axis=-1)
+
+    # base-flat case: axis anti-parallel to up (base faces the plane)
+    flat = n_dot > 1.0 - 1e-8
+    # slant case: apex and rim-low equally close (within tol of each other)
+    half_angle = jnp.arctan2(R, H)
+    tilt = jnp.arccos(jnp.clip(jnp.abs(n_dot), 0.0, 1.0))
+    slant = jnp.abs((jnp.pi / 2 - tilt) - half_angle) < 1e-6
+
+    # base rim points (4) for the flat case
+    bt1, bt2 = orthonormal_basis(up)
+    angles = jnp.arange(4).astype(dtype) * (jnp.pi / 2)
+    rim4 = (
+        base[:, None, :]
+        + R[:, None, None] * jnp.cos(angles)[None, :, None] * bt1[:, None, :]
+        + R[:, None, None] * jnp.sin(angles)[None, :, None] * bt2[:, None, :]
+    )
+    d_base = jnp.sum((base - pp) * up, axis=-1)
+
+    apex_lower = d_apex < d_rim
+    d_point = jnp.minimum(d_apex, d_rim)
+    x_point = jnp.where(apex_lower[:, None], apex, rim_low)
+
+    dist = jnp.where(flat, d_base, d_point)
+    pts = jnp.where(
+        flat[:, None, None],
+        rim4,
+        jnp.where(
+            slant[:, None, None],
+            jnp.stack([apex, rim_low, apex, rim_low], axis=1),
+            jnp.stack([x_point] * 4, axis=1),
+        ),
+    )
+    nact = jnp.where(flat, 4, jnp.where(slant, 2, 1))
+    valid = jnp.arange(4)[None, :] < nact[:, None]
+    sdist = jnp.where(valid, dist[:, None], jnp.inf)
+    n = jnp.broadcast_to(up[:, None, :], pts.shape)
+    pa = jnp.where(flat[:, None], base, x_point)
+    pb = pa - up * dist[..., None]
+    return dist, pa, pb, pts, n, sdist
+
+
 def _torus_plane(scene, pos, quat_b, pairs):
     """A = torus (axis = local Z), B = plane; aligned case -> 4 ring points
     (reference CCD.inl find_contacts_torus_plane), tilted -> lowest point."""
@@ -458,6 +528,7 @@ _KERNELS = {
     sc.K_BOX_SPHERE: _box_sphere,
     sc.K_CYLINDER_PLANE: _cylinder_plane,
     sc.K_TORUS_PLANE: _torus_plane,
+    sc.K_CONE_PLANE: _cone_plane,
     sc.K_SPHERE_HEIGHTMAP: _sphere_heightmap,
     sc.K_CONVEX_CONVEX: _convex_convex,
 }

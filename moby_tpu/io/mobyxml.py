@@ -114,6 +114,16 @@ def _parse_primitive(el) -> _Primitive:
         vol = math.pi * r * r * h
         m = float(mass_attr) if mass_attr else (float(density) * vol if density else 0.0)
         return _Primitive(sc.CYLINDER, np.array([r, h]), pos, quat, m, sc.cylinder_inertia(m, r, h))
+    if tag == "Cone":
+        # XMLReader::read_cone; axis local Y, apex +H/2, base radius R
+        r = float(el.get("radius", 1.0))
+        h = float(el.get("height", 1.0))
+        vol = math.pi * r * r * h / 3.0
+        m = float(mass_attr) if mass_attr else (float(density) * vol if density else 0.0)
+        # reference formula (ConePrimitive::calc_mass_properties)
+        iy = m * r * r / 3.0
+        ix = 0.1 * m * h * h + 3.0 / 20.0 * m * r * r
+        return _Primitive(sc.CONE, np.array([r, h]), pos, quat, m, np.diag([ix, iy, ix]))
     if tag == "Torus":
         R = float(el.get("major-radius", 1.0))
         r = float(el.get("minor-radius", 0.1))
@@ -166,7 +176,7 @@ def load(path: str, post_build=None):
     sim_el = None
 
     for el in moby:
-        if el.tag in ("Sphere", "Box", "Plane", "Cylinder", "Torus"):
+        if el.tag in ("Sphere", "Box", "Plane", "Cylinder", "Cone", "Torus"):
             prims[el.get("id")] = _parse_primitive(el)
         elif el.tag == "GravityForce":
             gravity_ids.add(el.get("id"))
