@@ -108,6 +108,12 @@ def _parse_primitive(el) -> _Primitive:
         )
     if tag == "Plane":
         return _Primitive(sc.PLANE, np.array([0.0]), pos, quat)
+    if tag == "VertexCloud":
+        # extension tag (xmlwriter round-trip for POLYHEDRON geoms)
+        verts = _floats(el.get("vertices")).reshape(-1, 3)
+        m = float(mass_attr) if mass_attr else 0.0
+        return _Primitive(sc.POLYHEDRON, np.array([0.0]), pos, quat, m,
+                          np.eye(3) * 1e-12, verts)
     if tag == "Cylinder":
         r = float(el.get("radius", 1.0))
         h = float(el.get("height", 1.0))
@@ -176,7 +182,8 @@ def load(path: str, post_build=None):
     sim_el = None
 
     for el in moby:
-        if el.tag in ("Sphere", "Box", "Plane", "Cylinder", "Cone", "Torus"):
+        if el.tag in ("Sphere", "Box", "Plane", "Cylinder", "Cone", "Torus",
+                      "VertexCloud"):
             prims[el.get("id")] = _parse_primitive(el)
         elif el.tag == "GravityForce":
             gravity_ids.add(el.get("id"))
@@ -367,8 +374,15 @@ def _build_articulated(b, el, prims, xml_path):
         lid = ch.get("id")
         pos, quat = _pose_from_attrs(ch)
         pos = pos + translate
-        mass = 0.0
+        # explicit mass/inertia (about COM, link axes) take precedence;
+        # otherwise accumulate from InertiaFromPrimitive children
+        mass = float(ch.get("mass", 0.0))
         inertia = np.zeros((3, 3))
+        com_local = np.zeros(3)
+        if ch.get("inertia"):
+            inertia = _floats(ch.get("inertia")).reshape(3, 3)
+        if ch.get("com"):
+            com_local = _floats(ch.get("com"))
         for ip in ch.findall("InertiaFromPrimitive"):
             p = prims[ip.get("primitive-id")]
             R = _quat_to_R(p.quat)
@@ -389,6 +403,7 @@ def _build_articulated(b, el, prims, xml_path):
                 )
         links[lid] = dict(
             pos=pos, quat=quat, mass=mass, inertia=inertia, geoms=geoms,
+            com_local=com_local,
             lv=_floats(ch.get("linear-velocity", "0 0 0")),
             av=_floats(ch.get("angular-velocity", "0 0 0")),
         )

@@ -1,0 +1,315 @@
+"""Serialize a scene back to Moby XML (reference `XMLWriter`,
+src/XMLWriter.cpp: `serialize_to_xml` walks the simulator object graph and
+emits the same tag vocabulary `XMLReader` consumes).
+
+`save(builder, path, state=None, step_size=None)` writes a Moby XML file that
+`mobyxml.load` reads back to an equivalent scene:
+
+* primitives are emitted one per collision geometry with the geometry's local
+  pose baked onto the primitive element;
+* free rigid bodies carry explicit `mass` / 9-value `inertia` attributes plus
+  position/quat/velocities (from `state` when given, else the builder's);
+* articulated bodies are emitted inline (`RCArticulatedBody` with world-posed
+  links and world joint locations/axes at the serialized q — the same
+  convention `_build_articulated` re-roots and bakes on load);
+* `ContactParameters`, `DisabledPair`, `Gears`, `GravityForce`,
+  `StokesDragForce` and the `TimeSteppingSimulator` body/force lists mirror
+  the reader.
+
+POLYHEDRON geometries use a `VertexCloud` extension tag (the reference
+round-trips meshes by filename, which a compiled scene no longer has).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from ..core import scene as sc
+from ..dynamics import model as amdl
+
+_PRIM_WRITERS = {}
+
+_JOINT_TAG_OF = {
+    amdl.REVOLUTE: "RevoluteJoint",
+    amdl.PRISMATIC: "PrismaticJoint",
+    amdl.SPHERICAL: "SphericalJoint",
+    amdl.UNIVERSAL: "UniversalJoint",
+    amdl.FIXED: "FixedJoint",
+    amdl.PLANAR: "PlanarJoint",
+}
+
+
+def _fmt(v):
+    a = np.asarray(v, np.float64).ravel()
+    return " ".join(repr(float(x)) for x in a)
+
+
+def _prim_element(g: sc.GeomDef, pid: str) -> ET.Element:
+    t = g.gtype
+    attrs = {"id": pid}
+    if g.pos is not None and np.any(g.pos):
+        attrs["position"] = _fmt(g.pos)
+    if g.quat is not None and abs(g.quat[3] - 1.0) > 1e-15:
+        attrs["quat"] = _fmt(g.quat)
+    if t == sc.SPHERE:
+        attrs["radius"] = repr(float(g.params[0]))
+        return ET.Element("Sphere", attrs)
+    if t == sc.PLANE:
+        return ET.Element("Plane", attrs)
+    if t == sc.BOX:
+        attrs["xlen"] = repr(float(2 * g.params[0]))
+        attrs["ylen"] = repr(float(2 * g.params[1]))
+        attrs["zlen"] = repr(float(2 * g.params[2]))
+        return ET.Element("Box", attrs)
+    if t == sc.CYLINDER:
+        attrs["radius"] = repr(float(g.params[0]))
+        attrs["height"] = repr(float(g.params[1]))
+        return ET.Element("Cylinder", attrs)
+    if t == sc.CONE:
+        attrs["radius"] = repr(float(g.params[0]))
+        attrs["height"] = repr(float(g.params[1]))
+        return ET.Element("Cone", attrs)
+    if t == sc.TORUS:
+        attrs["major-radius"] = repr(float(g.params[0]))
+        attrs["minor-radius"] = repr(float(g.params[1]))
+        return ET.Element("Torus", attrs)
+    if t == sc.POLYHEDRON:
+        attrs["vertices"] = _fmt(g.verts)
+        return ET.Element("VertexCloud", attrs)
+    raise ValueError(f"cannot serialize geometry type {t}")
+
+
+def save(builder: sc.SceneBuilder, path: str, state=None, step_size=None):
+    """Write the builder (and optional State) as Moby XML. Returns `path`."""
+    root = ET.Element("XML")
+    if step_size is not None:
+        ET.SubElement(root, "DRIVER", {"step-size": repr(float(step_size))})
+    moby = ET.SubElement(root, "MOBY")
+
+    # ---- pose table at the serialized state (for articulated link poses)
+    pose_pos = pose_quat = None
+    if builder.arts:
+        scene, st0 = builder.compile()
+        st = state if state is not None else st0
+        from ..sim import kinematics
+
+        pt = kinematics.compute(scene, st)
+        pose_pos = np.asarray(pt.pos)
+        pose_quat = np.asarray(pt.quat)
+        art_entries = {e.name: e for e in scene.arts}
+        nb = scene.nb
+        slot_of = {}
+        off = 0
+        for e in scene.arts:
+            for l in range(e.model.nl):
+                slot_of[(e.name, l)] = nb + off + l
+            off += e.model.nl
+    else:
+        st = state
+        art_entries = {}
+        slot_of = {}
+
+    # ---- primitives (one per geometry, local pose baked in)
+    geom_pid = {}
+    geoms_of_body: dict[str, list] = {}
+    for i, g in enumerate(builder.geoms):
+        pid = f"prim{i}"
+        geom_pid[id(g)] = pid
+        moby.append(_prim_element(g, pid))
+        geoms_of_body.setdefault(g.body, []).append(g)
+
+    # ---- forces
+    has_gravity = bool(np.any(builder.gravity))
+    if has_gravity:
+        ET.SubElement(
+            moby, "GravityForce",
+            {"id": "gravity", "accel": _fmt(builder.gravity)},
+        )
+    drag_ids = []
+    drag_items = sorted(
+        set(list(builder.drag_lin) + list(builder.drag_ang))
+    )
+    if drag_items:
+        # the builder applies one shared drag coefficient set to every body
+        bl = max((builder.drag_lin.get(k, 0.0) for k in drag_items), default=0)
+        ba = max((builder.drag_ang.get(k, 0.0) for k in drag_items), default=0)
+        ET.SubElement(
+            moby, "StokesDragForce",
+            {"id": "drag", "drag-b": repr(bl), "drag-b-ang": repr(ba)},
+        )
+        drag_ids.append("drag")
+
+    # ---- free rigid bodies
+    for bi, bd in enumerate(builder.bodies):
+        pos = bd.pos if bd.pos is not None else np.zeros(3)
+        q = bd.quat if bd.quat is not None else np.array([0, 0, 0, 1.0])
+        lv = bd.lin_vel if bd.lin_vel is not None else np.zeros(3)
+        av = bd.ang_vel if bd.ang_vel is not None else np.zeros(3)
+        if state is not None:
+            pos = np.asarray(state.pos[bi])
+            q = np.asarray(state.quat[bi])
+            lv = np.asarray(state.vel[bi])
+            av = np.asarray(state.omega[bi])
+        attrs = {
+            "id": bd.name,
+            "enabled": "true" if bd.enabled else "false",
+            "position": _fmt(pos),
+            "quat": _fmt(q),
+            "linear-velocity": _fmt(lv),
+            "angular-velocity": _fmt(av),
+        }
+        if bd.mass:
+            attrs["mass"] = repr(float(bd.mass))
+        if bd.inertia is not None and np.any(bd.inertia):
+            attrs["inertia"] = _fmt(bd.inertia)
+        if bd.compliant:
+            attrs["compliant"] = "true"
+        el = ET.SubElement(moby, "RigidBody", attrs)
+        for g in geoms_of_body.get(bd.name, []):
+            ET.SubElement(
+                el, "CollisionGeometry", {"primitive-id": geom_pid[id(g)]}
+            )
+
+    # ---- articulated bodies (inline, world-pose convention)
+    for ab in builder.arts:
+        m = ab.model
+        ent = art_entries[ab.name]
+        qv = (
+            np.asarray(st.q_art[ent.q_off : ent.q_off + m.nq])
+            if st is not None
+            else np.asarray(ab.q0)
+        )
+        qdv = (
+            np.asarray(st.qd_art[ent.v_off : ent.v_off + m.nv])
+            if st is not None
+            else np.asarray(ab.qd0)
+        )
+        el = ET.SubElement(
+            moby, "RCArticulatedBody",
+            {"id": ab.name,
+             "floating-base": "true" if m.floating else "false"},
+        )
+        for l, lname in enumerate(ab.link_names):
+            s = slot_of[(ab.name, l)]
+            lk = m.links[l]
+            lat = {
+                "id": lname,
+                "position": _fmt(pose_pos[s]),
+                "quat": _fmt(pose_quat[s]),
+            }
+            if lk.mass:
+                lat["mass"] = repr(float(lk.mass))
+                # inertia about the COM in link axes (what
+                # build_ab_from_world's links dict expects)
+                lat["inertia"] = _fmt(np.asarray(lk.inertia_com))
+                c = np.asarray(lk.com)
+                if np.any(c):
+                    lat["com"] = _fmt(c)
+            lel = ET.SubElement(el, "RigidBody", lat)
+            for g in geoms_of_body.get(f"{ab.name}/{lname}", []):
+                ET.SubElement(
+                    lel, "CollisionGeometry",
+                    {"primitive-id": geom_pid[id(g)]},
+                )
+        for l, lname in enumerate(ab.link_names):
+            lk = m.links[l]
+            j = lk.joint
+            if j.jtype == amdl.FLOATING or m.parent[l] < 0:
+                # the base carries no joint element: the loader re-derives
+                # its FIXED/FLOATING attachment from the link pose +
+                # floating-base attribute (build_ab_from_world base_linkdef)
+                continue
+            s = slot_of[(ab.name, l)]
+            R = _quat_to_R(pose_quat[s])
+            jat = {
+                "id": f"{ab.name}.{j.name or lname}",
+                "inboard-link-id": (
+                    ab.link_names[m.parent[l]] if m.parent[l] >= 0 else "world"
+                ),
+                "outboard-link-id": lname,
+                # the link frame is rooted at the joint (build_ab_from_world)
+                "location": _fmt(pose_pos[s]),
+            }
+            if j.jtype in (amdl.REVOLUTE, amdl.PRISMATIC, amdl.UNIVERSAL,
+                           amdl.PLANAR):
+                # joint axes are invariant under the joint's own rotation, so
+                # world axis = link world orientation * joint-frame axis
+                jat["axis"] = _fmt(R @ np.asarray(j.axis))
+            nq = amdl.NQ[j.jtype]
+            nv = amdl.NV[j.jtype]
+            if nq:
+                jat["q"] = _fmt(qv[m.q_off[l] : m.q_off[l] + nq])
+            if nv:
+                jat["qd"] = _fmt(qdv[m.v_off[l] : m.v_off[l] + nv])
+            if j.lo is not None and np.any(np.isfinite(j.lo)):
+                jat["lower-limits"] = _fmt(j.lo)
+            if j.hi is not None and np.any(np.isfinite(j.hi)):
+                jat["upper-limits"] = _fmt(j.hi)
+            if j.restitution:
+                jat["restitution-coeff"] = repr(float(j.restitution))
+            ET.SubElement(el, _JOINT_TAG_OF[j.jtype], jat)
+        for (abn, la, lb, ratio) in getattr(builder, "_gears", []):
+            if abn == ab.name:
+                ET.SubElement(
+                    el, "Gears",
+                    {"inboard-link-id": la, "outboard-link-id": lb,
+                     "gear-ratio": repr(ratio)},
+                )
+
+    # ---- simulator
+    sat = {"id": "simulator"}
+    if builder.stab_max_iters != 4:
+        sat["constraint-stabilization-max-iterations"] = str(
+            builder.stab_max_iters
+        )
+    from .. import config as _cfg
+
+    if builder.min_step_size != _cfg.NEAR_ZERO_F64:
+        sat["min-step-size"] = repr(float(builder.min_step_size))
+    sim = ET.SubElement(moby, "TimeSteppingSimulator", sat)
+    for bd in builder.bodies:
+        ET.SubElement(sim, "DynamicBody", {"dynamic-body-id": bd.name})
+    for ab in builder.arts:
+        ET.SubElement(sim, "DynamicBody", {"dynamic-body-id": ab.name})
+    if has_gravity:
+        ET.SubElement(sim, "RecurrentForce", {"recurrent-force-id": "gravity"})
+    for did in drag_ids:
+        ET.SubElement(sim, "RecurrentForce", {"recurrent-force-id": did})
+    for (n1, n2), cp in sorted(builder.contact_params.items()):
+        ET.SubElement(
+            sim, "ContactParameters",
+            {
+                "object1-id": n1,
+                "object2-id": n2,
+                "epsilon": repr(cp.epsilon),
+                "mu-coulomb": repr(cp.mu_coulomb),
+                "mu-viscous": repr(cp.mu_viscous),
+                "friction-cone-edges": (
+                    "inf" if cp.nk <= 0 else str(cp.nk)
+                ),
+                "compliance": repr(cp.compliance),
+                "penalty-kp": repr(cp.penalty_kp),
+                "penalty-kv": repr(cp.penalty_kv),
+            },
+        )
+    for (n1, n2) in sorted(builder.disabled_pairs):
+        ET.SubElement(
+            sim, "DisabledPair", {"object1-id": n1, "object2-id": n2}
+        )
+
+    ET.indent(root)
+    ET.ElementTree(root).write(path, xml_declaration=False)
+    return path
+
+
+def _quat_to_R(q):
+    x, y, z, w = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
