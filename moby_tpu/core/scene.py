@@ -61,7 +61,7 @@ K_TORUS_PLANE = 5     # A=torus, B=plane, 4 slots
 K_BOX_BOX = 6         # A=box, B=box: vertex-vs-box both ways, 2*vmax slots
 K_SPHERE_HEIGHTMAP = 7   # A=sphere, B=heightmap, 1 slot
 K_VERTS_HEIGHTMAP = 8    # A=vertex solid, B=heightmap, vmax slots
-K_CONVEX_CONVEX = 9      # A,B convex vertex clouds via GJK, 1 slot
+K_CONVEX_CONVEX = 9      # A,B convex clouds: GJK + MTV manifold, 8 slots
 K_CONE_PLANE = 10        # A=cone, B=plane, 4 slots
 
 
@@ -79,7 +79,7 @@ def _kind_nslots(kind: int, vmax: int) -> int:
     if kind == K_VERTS_HEIGHTMAP:
         return vmax
     if kind == K_CONVEX_CONVEX:
-        return 1
+        return 8  # 4+4 bidirectional vertex-vs-supporting-plane manifold
     raise ValueError(f"unknown kind {kind}")
 
 

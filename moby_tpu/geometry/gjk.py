@@ -151,3 +151,80 @@ def gjk(verts_a, nva, verts_b, nvb, max_iters: int = MAX_ITERS) -> GJKResult:
     dist = jnp.linalg.norm(p)
     intersecting = dist < 1e-9
     return GJKResult(dist=dist, pa=pa, pb=pb, intersecting=intersecting)
+
+
+def _icosphere_dirs():
+    """42 unit directions: icosahedron vertices + edge midpoints."""
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    v = []
+    for s1 in (-1, 1):
+        for s2 in (-1, 1):
+            v += [(0, s1, s2 * phi), (s1, s2 * phi, 0), (s2 * phi, 0, s1)]
+    v = np.array(v, np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # edge midpoints: pairs closer than the icosahedral edge length
+    mids = []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            if np.linalg.norm(v[i] - v[j]) < 1.2:
+                m = v[i] + v[j]
+                mids.append(m / np.linalg.norm(m))
+    return np.concatenate([v, np.array(mids)], axis=0)
+
+
+_MTV_DIRS = _icosphere_dirs()  # (42, 3)
+
+
+def mtv(verts_a, nva, verts_b, nvb, refine_iters: int = 8):
+    """Approximate minimum-translation vector for two overlapping convex
+    vertex clouds: the TPU-native stand-in for EPA (the reference's
+    penetration path runs polyhedral V-Clip / Polyhedron::calc_signed_dist,
+    src/Polyhedron.cpp).
+
+    Minimizes t(d) = h_A(d) + h_B(-d) (the translation of B along +d that
+    separates the bodies) over 42 fixed icosphere directions, then refines
+    with a fixed-iteration compass search on the sphere (t is piecewise
+    linear; derivative-free descent avoids subgradient corner cases).
+
+    Returns (depth, n) with n the B->A contact normal (= -argmin d) and
+    depth >= 0 the overlap along n. Valid only when the hulls overlap
+    (otherwise the result is a positive separation bound, not a distance).
+    """
+    va_ok = jnp.arange(verts_a.shape[0]) < nva
+    vb_ok = jnp.arange(verts_b.shape[0]) < nvb
+
+    def t_of(d):
+        # h_A(d) + h_B(-d); d may be a batch (..., 3)
+        da = jnp.einsum("...k,vk->...v", d, verts_a)
+        db = jnp.einsum("...k,vk->...v", d, verts_b)
+        hA = jnp.max(jnp.where(va_ok, da, -jnp.inf), axis=-1)
+        hBm = jnp.max(jnp.where(vb_ok, -db, -jnp.inf), axis=-1)
+        return hA + hBm
+
+    dirs = jnp.asarray(_MTV_DIRS, verts_a.dtype)
+    t0 = t_of(dirs)
+    i0 = jnp.argmin(t0)
+    d = dirs[i0]
+
+    def body(k, carry):
+        d, delta = carry
+        # tangent basis at d
+        ref = jnp.where(jnp.abs(d[0]) < 0.9,
+                        jnp.array([1.0, 0.0, 0.0], d.dtype),
+                        jnp.array([0.0, 1.0, 0.0], d.dtype))
+        t1 = jnp.cross(d, ref)
+        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-30)
+        t2 = jnp.cross(d, t1)
+        cands = jnp.stack([
+            d,
+            d + delta * t1, d - delta * t1,
+            d + delta * t2, d - delta * t2,
+        ])
+        cands = cands / jnp.linalg.norm(cands, axis=-1, keepdims=True)
+        vals = t_of(cands)
+        j = jnp.argmin(vals)
+        return cands[j], delta * 0.6
+
+    d, _ = jax.lax.fori_loop(0, refine_iters, body, (d, jnp.asarray(0.35, d.dtype)))
+    depth = t_of(d)
+    return depth, -d

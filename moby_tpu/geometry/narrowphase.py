@@ -498,12 +498,40 @@ def _verts_heightmap(scene, pos, quat_b, pairs, nslots):
     return dist, pmin, pmin - nmin * dist[:, None], vw, n, sdist
 
 
+def _topk_by_depth(depth, valid, k):
+    """Indices of the k smallest depths among valid slots (iterated masked
+    argmin — fixed shape, no sort)."""
+
+    def body(_, carry):
+        chosen, excl = carry
+        i = jnp.argmin(jnp.where(valid & ~excl, depth, jnp.inf)).astype(
+            jnp.int32
+        )
+        ok = (valid & ~excl)[i]
+        chosen = jnp.concatenate([chosen[1:], i[None]])
+        excl = excl.at[i].set(excl[i] | ok)
+        return chosen, excl
+
+    chosen0 = jnp.zeros(k, jnp.int32)
+    excl0 = jnp.zeros_like(valid)
+    chosen, excl = jax.lax.fori_loop(0, k, body, (chosen0, excl0))
+    return chosen
+
+
 def _convex_convex(scene, pos, quat_b, pairs):
-    """General convex pair via batched GJK on world-frame vertex clouds
-    (the reference's GJK generic narrow phase, src/GJK.cpp; single witness
-    contact like find_contacts_generic's signed-dist fallback)."""
+    """General convex pair: batched GJK witnesses for the separated case +
+    sampled-MTV normal (EPA stand-in, see `gjk.mtv`) with a bidirectional
+    vertex-vs-supporting-plane manifold when touching/penetrating.
+
+    The reference does polyhedral V-Clip feature walking / signed distance
+    (src/Polyhedron.cpp, src/GJK.cpp) producing multi-contact manifolds per
+    convex pair; here both sides' vertices near the other body's supporting
+    plane become up to 4+4 contact slots (deepest-first), the same
+    vertex-contact convention as `find_contacts_plane_generic`.
+    Edge-edge-only penetrations fall back to the deepest-vertex pair."""
     from . import gjk as gjk_mod
 
+    dtype = pos.dtype
     ga = scene.pair_g1[pairs]
     gb = scene.pair_g2[pairs]
     pa_, qa = geom_world_pose(scene, pos, quat_b, ga)
@@ -513,13 +541,71 @@ def _convex_convex(scene, pos, quat_b, pairs):
     nva = scene.geom_nverts[ga]
     nvb = scene.geom_nverts[gb]
     res = jax.vmap(gjk_mod.gjk)(va, nva, vb, nvb)
-    d = res.dist
-    n = res.pa - res.pb
-    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = jnp.where(nn > 1e-12, n / jnp.maximum(nn, 1e-30),
-                  jnp.array([0.0, 0.0, 1.0], pos.dtype))
-    point = 0.5 * (res.pa + res.pb)
-    return d, res.pa, res.pb, point[:, None, :], n[:, None, :], d[:, None]
+    pen_depth, pen_n = jax.vmap(gjk_mod.mtv)(va, nva, vb, nvb)
+
+    d = jnp.where(res.intersecting, -pen_depth, res.dist)
+    n_sep = res.pa - res.pb
+    nn = jnp.linalg.norm(n_sep, axis=-1, keepdims=True)
+    n_sep = jnp.where(
+        nn > 1e-9, n_sep / jnp.maximum(nn, 1e-30), pen_n
+    )
+    n = jnp.where(res.intersecting[:, None], pen_n, n_sep)  # B -> A
+
+    # supporting planes: B's extreme toward A (along +n), A's toward B
+    vmask_a = jnp.arange(va.shape[1])[None, :] < nva[:, None]
+    vmask_b = jnp.arange(vb.shape[1])[None, :] < nvb[:, None]
+    dots_a = jnp.einsum("pvk,pk->pv", va, n)
+    dots_b = jnp.einsum("pvk,pk->pv", vb, n)
+    hB = jnp.max(jnp.where(vmask_b, dots_b, -jnp.inf), axis=1)   # B top
+    sA = jnp.min(jnp.where(vmask_a, dots_a, jnp.inf), axis=1)    # A bottom
+
+    face_tol = 10 * jnp.sqrt(jnp.asarray(np.finfo(np.dtype(dtype)).eps))
+
+    # A's vertices vs B's plane (depth = signed distance along n)
+    depth_a = dots_a - hB[:, None]
+    cand_a = vmask_a & (depth_a <= face_tol)
+    # B's vertices vs A's plane
+    depth_b = sA[:, None] - dots_b
+    cand_b = vmask_b & (depth_b <= face_tol)
+
+    idx_a = jax.vmap(lambda dep, ok: _topk_by_depth(dep, ok, 4))(
+        depth_a, cand_a
+    )
+    idx_b = jax.vmap(lambda dep, ok: _topk_by_depth(dep, ok, 4))(
+        depth_b, cand_b
+    )
+    P = va.shape[0]
+    rows = jnp.arange(P)[:, None]
+    pts_a = va[rows, idx_a] - 0.5 * depth_a[rows, idx_a][..., None] * n[:, None, :]
+    pts_b = vb[rows, idx_b] + 0.5 * depth_b[rows, idx_b][..., None] * n[:, None, :]
+    sd_a = jnp.where(cand_a[rows, idx_a], depth_a[rows, idx_a], jnp.inf)
+    sd_b = jnp.where(cand_b[rows, idx_b], depth_b[rows, idx_b], jnp.inf)
+
+    pts = jnp.concatenate([pts_a, pts_b], axis=1)          # (P, 8, 3)
+    sdist = jnp.concatenate([sd_a, sd_b], axis=1)          # (P, 8)
+
+    # separated: single GJK-witness contact in slot 0
+    point_sep = 0.5 * (res.pa + res.pb)
+    sep = ~res.intersecting & (res.dist > face_tol)
+    pts = jnp.where(sep[:, None, None], point_sep[:, None, :], pts)
+    sdist_sep = jnp.concatenate(
+        [res.dist[:, None], jnp.full((P, 7), jnp.inf, dtype)], axis=1
+    )
+    sdist = jnp.where(sep[:, None], sdist_sep, sdist)
+
+    # fallback: penetrating but no vertex-plane candidates (edge-edge):
+    # deepest vertex pair
+    have = jnp.any(jnp.isfinite(sdist), axis=1)
+    fb_pt = 0.5 * (res.pa + res.pb)
+    pts = jnp.where(have[:, None, None], pts, fb_pt[:, None, :])
+    sdist = jnp.where(
+        have[:, None],
+        sdist,
+        jnp.concatenate([d[:, None], jnp.full((P, 7), jnp.inf, dtype)], axis=1),
+    )
+
+    nrm = jnp.broadcast_to(n[:, None, :], pts.shape)
+    return d, res.pa, res.pb, pts, nrm, sdist
 
 
 _KERNELS = {
