@@ -560,6 +560,126 @@ def lcp_fast_sm(M, q, mask, z0=None, zero_tol=-1.0, refresh_every: int = 8,
     return z, ok
 
 
+class _BPPState(NamedTuple):
+    nonbas: jnp.ndarray   # (n,) bool: the "F" set (z-variables basic)
+    z: jnp.ndarray
+    done: jnp.ndarray
+    failed: jnp.ndarray
+    iters: jnp.ndarray
+    ninf: jnp.ndarray     # infeasibility count of the last iterate
+    p: jnp.ndarray        # safeguard budget (Murty fallback when exhausted)
+
+
+def lcp_bpp(M, q, mask, z0=None, zero_tol=-1.0, max_iters: int = 24,
+            p_budget: int = 3, skip=None):
+    """Block principal pivoting (Júdice–Pires) for the LCP.
+
+    Same sub-problem solve as :func:`lcp_fast` (masked dense system, as the
+    reference's `solve_fast`), but every iteration swaps *all* violating
+    indices between the basic and nonbasic sets at once instead of one:
+
+        F ← (F \\ {i ∈ F : z_i < -tol}) ∪ {i ∉ F : w_i < -tol}
+
+    For the monotone QP-derived LCPs of the impact handler this converges in
+    a handful of iterations independent of problem size — the sequential
+    pivot-chain depth (the measured bottleneck of a cold contact step on TPU,
+    where `lax.while_loop` iterations lock-step across the vmapped batch)
+    drops from O(m) to O(~10). The classic cycling safeguard applies: when
+    the infeasibility count fails to strictly decrease for `p_budget`
+    consecutive iterations, fall back to switching only the first (least
+    index) violator — Murty's method, finite for P-matrices.
+
+    Callers must verify the solution (`_verify`) before accepting; the
+    production cascade falls back to the exact pivoting path on failure, so
+    semantics are unchanged.
+    """
+    n = q.shape[0]
+    dtype = M.dtype
+    M, q = pad_lcp(M, q, mask)
+    m_active = jnp.sum(mask)
+    auto_tol = m_active.astype(dtype) * _masked_norm_inf(M, mask) * _eps(dtype)
+    ztol = jnp.where(zero_tol < 0.0, auto_tol, zero_tol).astype(dtype)
+
+    # initial F: warm-start support, else the q<0 set (one-shot for the
+    # common resting-contact case where the whole active set pushes)
+    if z0 is None:
+        z0 = jnp.zeros(n, dtype)
+    z0 = jnp.where(mask, z0, 0.0)
+    warm = (jnp.abs(z0) >= ztol) & mask
+    cold = (q < -ztol) & mask
+    nonbas0 = jnp.where(jnp.any(warm), warm, cold)
+    trivial = ~jnp.any(nonbas0)
+
+    arange = jnp.arange(n)
+
+    def solve_sub(nonbas):
+        outer = nonbas[:, None] & nonbas[None, :]
+        A = jnp.where(outer, M, 0.0) + jnp.diag(
+            jnp.where(nonbas, 0.0, 1.0).astype(dtype)
+        )
+        b = jnp.where(nonbas, -q, 0.0)
+        z = jnp.linalg.solve(A, b)
+        ok = jnp.all(jnp.isfinite(z))
+        z = jnp.where(nonbas, z, 0.0)
+        bas = mask & ~nonbas
+        w = jnp.where(bas, M @ z + q, 0.0)
+        return z, w, ok
+
+    def body(s: _BPPState) -> _BPPState:
+        z, w, solvable = solve_sub(s.nonbas)
+        bas = mask & ~s.nonbas
+
+        H1 = s.nonbas & (z < -ztol)          # z-basic but negative -> leave
+        H2 = bas & (w < -ztol)               # w negative -> enter
+        ninf = (jnp.sum(H1) + jnp.sum(H2)).astype(jnp.int32)
+        solved = (ninf == 0) & solvable
+
+        improved = ninf < s.ninf
+        p_next = jnp.where(improved, jnp.int32(p_budget), s.p - 1)
+
+        # full block swap while the safeguard budget holds; otherwise swap
+        # only the first violating index (Murty's least-index rule)
+        viol = H1 | H2
+        first_i = _first_min_index(
+            jnp.where(viol, arange, n).astype(dtype), viol
+        )
+        single = (arange == first_i) & viol
+        use_block = p_next > 0
+        H1e = jnp.where(use_block, H1, single & H1)
+        H2e = jnp.where(use_block, H2, single & H2)
+
+        nonbas_next = (s.nonbas & ~H1e) | H2e
+
+        return _BPPState(
+            nonbas=jnp.where(solved | ~solvable, s.nonbas, nonbas_next),
+            z=jnp.where(solvable, z, s.z),
+            done=solved,
+            failed=~solvable,
+            iters=s.iters + 1,
+            ninf=jnp.where(improved, ninf, s.ninf),
+            p=jnp.maximum(p_next, 0),
+        )
+
+    def cond(s: _BPPState):
+        return ~s.done & ~s.failed & (s.iters < max_iters)
+
+    if skip is None:
+        skip = jnp.array(False)
+    init = _BPPState(
+        nonbas=nonbas0,
+        z=jnp.zeros(n, dtype),
+        done=trivial | skip,
+        failed=jnp.array(False),
+        iters=jnp.array(0, jnp.int32),
+        ninf=jnp.array(n + 1, jnp.int32),
+        p=jnp.array(p_budget, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    z = jnp.where(mask & ~trivial & ~skip, out.z, 0.0)
+    ok = (out.done | trivial) & ~skip
+    return z, ok
+
+
 def solve_lcp_fast_lemke(M, q, mask, z0=None, skip=None):
     """`lcp_fast` then `lcp_lemke_regularized` (the cascade used by the
     stabilization and no-slip paths, e.g. src/ConstraintStabilization.cpp:955),
@@ -572,14 +692,20 @@ def solve_lcp_fast_lemke(M, q, mask, z0=None, skip=None):
 
     if skip is None:
         skip = jnp.array(False)
-    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0, skip=skip)
+    z_bp, ok_bp = lcp_bpp(M, q, mask, z0=z0, skip=skip)
+    ok_bp = ok_bp & _verify(Mp, qp, z_bp, mask, check_tol)
+
+    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0, skip=ok_bp | skip)
     ok_sm = ok_sm & _verify(Mp, qp, z_sm, mask, check_tol)
 
-    z, ok = lcp_fast(M, q, mask, z0=z0, skip=ok_sm | skip)
+    pre = ok_bp | ok_sm
+    z, ok = lcp_fast(M, q, mask, z0=z0, skip=pre | skip)
     ok = ok & _verify(Mp, qp, z, mask, check_tol)
-    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=ok_sm | ok | skip)
-    z_out = jnp.where(ok_sm, z_sm, jnp.where(ok, z, z2))
-    return z_out, ok_sm | ok | ok2
+    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=pre | ok | skip)
+    z_out = jnp.where(
+        ok_bp, z_bp, jnp.where(ok_sm, z_sm, jnp.where(ok, z, z2))
+    )
+    return z_out, pre | ok | ok2
 
 
 def solve_lcp(M, q, mask, z0=None, skip=None):
@@ -600,15 +726,19 @@ def solve_lcp(M, q, mask, z0=None, skip=None):
 
     if skip is None:
         skip = jnp.array(False)
-    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0, skip=skip)
+    z_bp, ok_bp = lcp_bpp(M, q, mask, z0=z0, skip=skip)
+    ok_bp = ok_bp & _verify(Mp, qp, z_bp, mask, check_tol)
+
+    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0, skip=ok_bp | skip)
     ok_sm = ok_sm & _verify(Mp, qp, z_sm, mask, check_tol)
 
+    pre = ok_bp | ok_sm
     z, ok = lcp_fast_regularized(
         M, q, mask, z0=z0, min_exp=-20, step_exp=4, max_exp=-8,
-        skip=ok_sm | skip,
+        skip=pre | skip,
     )
-    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=ok_sm | ok | skip)
+    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=pre | ok | skip)
     z_exact = jnp.where(ok, z, z2)
     ok_exact = ok | ok2
-    z_out = jnp.where(ok_sm, z_sm, z_exact)
-    return z_out, ok_sm | ok_exact
+    z_out = jnp.where(ok_bp, z_bp, jnp.where(ok_sm, z_sm, z_exact))
+    return z_out, pre | ok_exact
