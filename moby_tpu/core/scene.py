@@ -184,6 +184,11 @@ class Scene:
     # constraint-stabilization iteration cap (XML
     # constraint-stabilization-max-iterations; 0 disables)
     stab_max_iters: int = struct.field(pytree_node=False, default=4)
+    # legacy velocity-first integration ordering (the stepper that produced
+    # some of the reference's golden trajectories, predating the current
+    # position-first TimeSteppingSimulator::do_mini_step): per step,
+    # v <- impact(v + a*h) evaluated at q_k, then q <- q + v_plus * h
+    legacy_velocity_first: bool = struct.field(pytree_node=False, default=False)
     arts: Any = struct.field(pytree_node=False, default=())      # tuple[ABEntry]
     bilaterals: Any = struct.field(pytree_node=False, default=())  # tuple[Bilateral]
     kind_groups: Any = struct.field(pytree_node=False, default=None)
@@ -316,6 +321,7 @@ class SceneBuilder:
         self.contact_dist_thresh = 1e-6
         self.min_step_size = cfg.NEAR_ZERO_F64
         self.stab_max_iters = 4
+        self.legacy_velocity_first = False
         self.disabled_pairs: set[tuple[str, str]] = set()
         # custom plugin contact kernels: (body1, body2, kernel, nslots)
         self.custom_pairs: list = []
@@ -833,6 +839,7 @@ class SceneBuilder:
             ),
             has_compliant=bool(any(s_compliant)),
             stab_max_iters=int(self.stab_max_iters),
+            legacy_velocity_first=bool(self.legacy_velocity_first),
             arts=tuple(art_entries),
             bilaterals=tuple(bilaterals),
             kind_groups=kind_groups,

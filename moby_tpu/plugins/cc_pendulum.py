@@ -60,15 +60,12 @@ def build():
     def post_build(b: sc.SceneBuilder):
         b.add_custom_pair("l1", "world", _kernel, 6)
         # The golden trajectory (regress/contact-constrained-pendulum.dat)
-        # was produced by a legacy velocity-first stepper: its state at line k
-        # equals the current ordering's state at line k+1. Starting from the
-        # equivalent initial condition — one gravity impulse projected onto
-        # the pin constraint: v_y = ω_z = -g·dt·(m r²/(m r² + I))/r with
-        # m=1, r=1, I=1, dt=1e-3 — reproduces it line-for-line.
-        for body in b.bodies:
-            if body.name == "l1":
-                body.lin_vel = np.array([0.0, -0.004905, 0.0])
-                body.ang_vel = np.array([0.0, 0.0, -0.004905])
+        # was produced by a legacy velocity-first stepper (v updated and
+        # impacts resolved at q_k, THEN q integrated with v+): its first line
+        # after t=0 already carries one projected gravity impulse
+        # (y = -g·h²·(m r²/(m r² + I)) = -4.905e-6). Use the matching
+        # integration ordering (`stepper.step_legacy_vf`).
+        b.legacy_velocity_first = True
 
     scene, st, opts = mobyxml.load(XML, post_build=post_build)
     return scene, st, opts

@@ -419,8 +419,70 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
     return st2, h
 
 
+def step_legacy_vf(scene: sc.Scene, st: sc.State, dt, controller=None) -> sc.State:
+    """Legacy velocity-first step (the integration ordering of the older
+    event-driven stepper that generated some reference golden trajectories,
+    e.g. regress/contact-constrained-pendulum.dat): forward dynamics and the
+    impact solve are evaluated at the *current* configuration q_k, the
+    velocity is updated first, and the position then integrates with the
+    post-impact velocity:
+
+        v_{k+1} = impact( v_k + a(q_k, v_k) * h )   [contacts at q_k]
+        q_{k+1} = q_k + \\dot q(q_k, v_{k+1}) * h
+
+    No CA sub-stepping, no post-step stabilization (neither existed in that
+    architecture). Selected by `Scene.legacy_velocity_first`.
+    """
+    dtype = st.pos.dtype
+    h = jnp.asarray(dt, dtype)
+
+    tau = None
+    u_free = None
+    if controller is not None:
+        u = controller(scene, st)
+        nb6 = 6 * scene.nb
+        if scene.nb:
+            u_free = u[:nb6].reshape(scene.nb, 6)
+        if scene.nv_art:
+            tau = u[nb6:]
+    a_lin, a_ang = forward_dynamics_free(scene, st.quat, st.omega, st.vel)
+    if u_free is not None:
+        a_lin = a_lin + scene.inv_mass[:, None] * u_free[:, :3]
+        Rc = quat.to_matrix(st.quat)
+        Iinv_w = Rc @ scene.inv_inertia @ jnp.swapaxes(Rc, -1, -2)
+        a_ang = a_ang + jnp.einsum("bij,bj->bi", Iinv_w, u_free[:, 3:])
+    qdd = articulated_qdd(scene, st, tau)
+
+    st2 = st.replace(
+        vel=st.vel + a_lin * h,
+        omega=st.omega + a_ang * h,
+        qd_art=st.qd_art + qdd * h,
+    )
+
+    if scene.n_contacts or scene.n_limits:
+        pt = kinematics.compute(scene, st2)
+        _, con = nph.narrow_phase(
+            scene, pt.pos, pt.quat, scene.contact_dist_thresh
+        )
+        res = impact.resolve_impacts(
+            scene, st2, pt, con, st.zlast, st.zlast_active
+        )
+        st2 = kinematics.apply_gc_velocity_delta(scene, st2, res.dv)
+        st2 = st2.replace(zlast=res.zlast, zlast_active=res.zlast_active)
+
+    qdot = quat.deriv(st.quat, st2.omega)
+    return st2.replace(
+        pos=st.pos + st2.vel * h,
+        quat=quat.normalize(st.quat + qdot * h),
+        q_art=integrate_art_q(scene, st.q_art, st2.qd_art, h),
+        time=st.time + h,
+    )
+
+
 def step(scene: sc.Scene, st: sc.State, dt, controller=None) -> sc.State:
     """One full simulator step (TimeSteppingSimulator::step)."""
+    if scene.legacy_velocity_first:
+        return step_legacy_vf(scene, st, dt, controller)
     dtype = st.pos.dtype
     dt = jnp.asarray(dt, dtype)
 
