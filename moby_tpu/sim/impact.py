@@ -335,7 +335,9 @@ def resolve_impacts(
     same = jnp.all(zlast_active == act) & jnp.any(zlast_active)
     z0 = jnp.where(same, zlast, jnp.zeros_like(zlast))
 
-    z, ok = lcp_solver(MM, qq, mask, z0)
+    # nothing impacting -> dv is zeroed below anyway; skip the pivot loops
+    # (`calc_impacting_unilateral_constraint_forces` early-out)
+    z, ok = lcp_solver(MM, qq, mask, z0, skip=~any_impact)
     cn1, cs1, ct1, l1 = unstack_impulses(scene, z)
     dv1 = impulse_dv(scene, p, cn1, cs1, ct1, l1)
 

@@ -135,7 +135,10 @@ def resolve_impacts_noslip(
         any_impact = any_impact | jnp.any(act_lim)
 
     p = assemble_problem(scene, st, pt, con, act, act_lim)
-    cn1, cs1, ct1, l1, dv1 = solve_noslip(scene, p, act, act_lim, nz)
+    # nothing impacting -> dv is zeroed below; skip the pivot loops
+    cn1, cs1, ct1, l1, dv1 = solve_noslip(
+        scene, p, act, act_lim, nz, skip=~any_impact
+    )
 
     Cn_v1 = p.Cn_v + p.Ann @ cn1 + p.Ans @ cs1 + p.Ant @ ct1 + p.Anl @ l1
     L_v1 = p.L_v + p.Anl.T @ cn1 + p.Asl.T @ cs1 + p.Atl.T @ ct1 + p.All @ l1

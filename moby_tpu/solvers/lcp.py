@@ -189,7 +189,10 @@ def _verify(M, q, z, mask, check_tol):
     z_ok = jnp.all(jnp.where(mask, zm, 0.0) >= -check_tol)
     w_ok = jnp.all(w >= -check_tol)
     zw = zm * w
-    c_ok = jnp.all(zw >= -check_tol) & jnp.all(jnp.where(mask, zw, 0.0) < check_tol)
+    # <= so the empty/trivial problem (z = w = 0, and check_tol = 0 when the
+    # mask is empty) verifies — otherwise every cascade stage re-runs its
+    # full regularization sweep on steps with nothing to solve
+    c_ok = jnp.all(zw >= -check_tol) & jnp.all(jnp.where(mask, zw, 0.0) <= check_tol)
     return z_ok & w_ok & c_ok
 
 
@@ -695,17 +698,11 @@ def solve_lcp_fast_lemke(M, q, mask, z0=None, skip=None):
     z_bp, ok_bp = lcp_bpp(M, q, mask, z0=z0, skip=skip)
     ok_bp = ok_bp & _verify(Mp, qp, z_bp, mask, check_tol)
 
-    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0, skip=ok_bp | skip)
-    ok_sm = ok_sm & _verify(Mp, qp, z_sm, mask, check_tol)
-
-    pre = ok_bp | ok_sm
-    z, ok = lcp_fast(M, q, mask, z0=z0, skip=pre | skip)
+    z, ok = lcp_fast(M, q, mask, z0=z0, skip=ok_bp | skip)
     ok = ok & _verify(Mp, qp, z, mask, check_tol)
-    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=pre | ok | skip)
-    z_out = jnp.where(
-        ok_bp, z_bp, jnp.where(ok_sm, z_sm, jnp.where(ok, z, z2))
-    )
-    return z_out, pre | ok | ok2
+    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=ok_bp | ok | skip)
+    z_out = jnp.where(ok_bp, z_bp, jnp.where(ok, z, z2))
+    return z_out, ok_bp | ok | ok2
 
 
 def solve_lcp(M, q, mask, z0=None, skip=None):
@@ -729,16 +726,12 @@ def solve_lcp(M, q, mask, z0=None, skip=None):
     z_bp, ok_bp = lcp_bpp(M, q, mask, z0=z0, skip=skip)
     ok_bp = ok_bp & _verify(Mp, qp, z_bp, mask, check_tol)
 
-    z_sm, ok_sm = lcp_fast_sm(M, q, mask, z0=z0, skip=ok_bp | skip)
-    ok_sm = ok_sm & _verify(Mp, qp, z_sm, mask, check_tol)
-
-    pre = ok_bp | ok_sm
     z, ok = lcp_fast_regularized(
         M, q, mask, z0=z0, min_exp=-20, step_exp=4, max_exp=-8,
-        skip=pre | skip,
+        skip=ok_bp | skip,
     )
-    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=pre | ok | skip)
+    z2, ok2 = lcp_lemke_regularized(M, q, mask, skip=ok_bp | ok | skip)
     z_exact = jnp.where(ok, z, z2)
     ok_exact = ok | ok2
-    z_out = jnp.where(ok_bp, z_bp, jnp.where(ok_sm, z_sm, z_exact))
-    return z_out, pre | ok_exact
+    z_out = jnp.where(ok_bp, z_bp, z_exact)
+    return z_out, ok_bp | ok_exact
