@@ -82,8 +82,13 @@ def solve(
     cost_final,
     us0=None,
     n_iters: int = 10,
+    parallel_line_search: bool = True,
 ) -> ilqr.ILQRResult:
-    """One contact-MPC solve (the unit of the solves/s benchmark)."""
+    """One contact-MPC solve (the unit of the solves/s benchmark).
+
+    Use `parallel_line_search=False` when vmapping large scenario batches
+    (the alpha fan-out multiplies the working set; see ilqr.ilqr).
+    """
     scene = prob.scene
     f = make_dynamics(scene, prob.template, prob.dt)
     x0 = pack(scene, st)
@@ -93,4 +98,7 @@ def solve(
         if us0 is not None
         else jnp.zeros((prob.horizon, nu), x0.dtype)
     )
-    return ilqr.ilqr(f, cost, cost_final, x0, us0, n_iters=n_iters)
+    return ilqr.ilqr(
+        f, cost, cost_final, x0, us0, n_iters=n_iters,
+        parallel_line_search=parallel_line_search,
+    )

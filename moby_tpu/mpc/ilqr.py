@@ -49,10 +49,18 @@ def ilqr(
     n_iters: int = 10,
     mu_init: float = 1e-6,
     line_search_steps: int = 8,
+    parallel_line_search: bool = True,
 ) -> ILQRResult:
     """Minimize sum cost(x,u) + cost_final(xT) subject to x' = f(x, u).
 
     f: (nx,), (nu,) -> (nx,) — differentiable dynamics.
+
+    `parallel_line_search` evaluates all step sizes as one batched rollout
+    (sequential depth H instead of steps*H) — the right default for small
+    scenario batches where the chip is latency-bound. For large vmapped
+    batches the alpha fan-out multiplies the working set by
+    `line_search_steps`; pass False there to evaluate alphas sequentially
+    (identical accept-first-improving semantics either way).
     """
     H, nu = us0.shape
     nx = x0.shape[0]
@@ -123,22 +131,43 @@ def ilqr(
         xs, us, cost_prev, mu = carry
         ks, Ks, ok = backward(xs, us, mu)
 
-        def try_alpha(carry2, alpha):
-            best_cost, best_xs, best_us, found = carry2
-            xs2, us2 = forward(xs, us, ks, Ks, alpha)
-            c2 = _total_cost(cost, cost_final, xs2, us2)
-            better = (c2 < best_cost) & ~found
-            return (
-                jnp.where(better, c2, best_cost),
-                jnp.where(better, xs2, best_xs),
-                jnp.where(better, us2, best_us),
-                found | better,
-            ), None
-
+        # evaluate every line-search step size in parallel (a batched rollout
+        # over the alpha axis) instead of sequentially: the forward rollout is
+        # the sequential-depth bottleneck of an iLQR iteration, and the
+        # backtracking scan evaluated all alphas unconditionally anyway.
+        # Accept the first (largest) alpha that improves the cost — identical
+        # to the backtracking rule.
         alphas = 1.1 ** (-jnp.arange(line_search_steps, dtype=dtype) ** 2)
-        (c_new, xs_new, us_new, improved), _ = jax.lax.scan(
-            try_alpha, (cost_prev, xs, us, jnp.array(False)), alphas
-        )
+        if parallel_line_search:
+            xs_all, us_all = jax.vmap(
+                lambda a: forward(xs, us, ks, Ks, a)
+            )(alphas)
+            c_all = jax.vmap(
+                lambda x, u: _total_cost(cost, cost_final, x, u)
+            )(xs_all, us_all)
+            better = c_all < cost_prev
+            first = jnp.argmax(better)  # first improving alpha (largest step)
+            improved = jnp.any(better)
+            sel = jnp.where(improved, first, 0)
+            c_new = jnp.where(improved, c_all[sel], cost_prev)
+            xs_new = jnp.where(improved, xs_all[sel], xs)
+            us_new = jnp.where(improved, us_all[sel], us)
+        else:
+            def try_alpha(carry2, alpha):
+                best_cost, best_xs, best_us, found = carry2
+                xs2, us2 = forward(xs, us, ks, Ks, alpha)
+                c2 = _total_cost(cost, cost_final, xs2, us2)
+                better = (c2 < best_cost) & ~found
+                return (
+                    jnp.where(better, c2, best_cost),
+                    jnp.where(better, xs2, best_xs),
+                    jnp.where(better, us2, best_us),
+                    found | better,
+                ), None
+
+            (c_new, xs_new, us_new, improved), _ = jax.lax.scan(
+                try_alpha, (cost_prev, xs, us, jnp.array(False)), alphas
+            )
         mu_new = jnp.where(improved, jnp.maximum(mu / 2, 1e-8), mu * 10)
         return (xs_new, us_new, c_new, mu_new), c_new
 

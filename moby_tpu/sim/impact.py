@@ -309,7 +309,7 @@ def _min_constraint_vel(Cn_v, act, L_v, act_lim):
 
 def resolve_impacts(
     scene: sc.Scene, st, pt: PoseTable, con: Contacts, zlast, zlast_active,
-    lcp_solver=None,
+    lcp_solver=None, act_filter=None, lim_filter=None,
 ) -> ImpactResult:
     """Full impact pipeline for one step (QP model). Returns the gc velocity
     delta (zero when no constraint is impacting —
@@ -317,6 +317,9 @@ def resolve_impacts(
 
     `lcp_solver(M, q, mask, z0) -> (z, ok)` defaults to the production
     pivoting cascade; the MPC layer substitutes the IFT-differentiable solve.
+    `act_filter`/`lim_filter` restrict the solve to a subset of contact/limit
+    slots (per-island model dispatch: groups routed to another model are
+    masked out here).
     """
     if lcp_solver is None:
         lcp_solver = lambda M, q, m, z0, skip=None: lcp.solve_lcp(
@@ -327,6 +330,10 @@ def resolve_impacts(
     K = scene.n_contacts
 
     act, act_lim, cn_vel, lim_vel = _active(scene, st, pt, con, nz)
+    if act_filter is not None:
+        act = act & act_filter
+    if lim_filter is not None and scene.n_limits:
+        act_lim = act_lim & lim_filter
     any_impact = jnp.any(act) | (jnp.any(act_lim) if scene.n_limits else False)
 
     p = assemble_problem(scene, st, pt, con, act, act_lim)
@@ -403,11 +410,9 @@ def resolve_impacts(
     return ImpactResult(dv, z_out, za_out, cn_total)
 
 
-def _active(scene, st, pt, con, nz):
-    """Solve masks (contacts, limits) plus raw constraint velocities."""
-    cn_vel, _, _ = contact_velocities(scene, pt, con)
-    lim_act, lim_vel = limit_activity_state(scene, st, nz)
-
+def group_labels(scene, con):
+    """Island label of every contact slot and limit slot (the connected
+    constraint groups of `determine_connected_constraints`)."""
     labels = island_labels(scene, con.active)
     ns = scene.n_pose_slots
     s1, s2 = scene.slot_s1, scene.slot_s2
@@ -426,6 +431,42 @@ def _active(scene, st, pt, con, nz):
         lim_lab = labels[col_to_slot[scene.lim_gc_col]]
     else:
         lim_lab = jnp.zeros(0, jnp.int32)
+    return con_lab, lim_lab
+
+
+def model_masks(scene, con):
+    """Per-island impact-model routing (`apply_model`'s per-group dispatch,
+    src/ImpactConstraintHandler.cpp:113-151): a group where every active
+    contact has mu >= 100 uses the no-slip MLCP; else a group with any
+    true-cone contact (NK = inf) uses the NQP; else the QP. Returns
+    ((act_ns, lim_ns), (act_nqp, lim_nqp), (act_qp, lim_qp)) slot filters.
+    """
+    ns = scene.n_pose_slots
+    con_lab, lim_lab = group_labels(scene, con)
+    slot_inf = scene.slot_mu_c >= 1e2
+    slot_tc = scene.slot_truecone
+
+    grp_finite = jnp.zeros(ns + 1, bool).at[con_lab].max(
+        con.active & ~slot_inf
+    )
+    grp_tc = jnp.zeros(ns + 1, bool).at[con_lab].max(con.active & slot_tc)
+
+    con_ns = ~grp_finite[con_lab]
+    con_nqp = grp_tc[con_lab] & ~con_ns
+    con_qp = ~con_ns & ~con_nqp
+    lim_ns = ~grp_finite[lim_lab]
+    lim_nqp = grp_tc[lim_lab] & ~lim_ns
+    lim_qp = ~lim_ns & ~lim_nqp
+    return (con_ns, lim_ns), (con_nqp, lim_nqp), (con_qp, lim_qp)
+
+
+def _active(scene, st, pt, con, nz):
+    """Solve masks (contacts, limits) plus raw constraint velocities."""
+    cn_vel, _, _ = contact_velocities(scene, pt, con)
+    lim_act, lim_vel = limit_activity_state(scene, st, nz)
+
+    con_lab, lim_lab = group_labels(scene, con)
+    ns = scene.n_pose_slots
 
     neg_con = con.active & (cn_vel < -nz)
     has_neg = jnp.zeros(ns + 1, bool).at[con_lab].max(neg_con)

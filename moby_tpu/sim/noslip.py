@@ -121,7 +121,8 @@ def solve_noslip(scene: sc.Scene, p: Problem, act, act_lim, nz, skip=None):
 
 
 def resolve_impacts_noslip(
-    scene: sc.Scene, st, pt, con, zlast, zlast_active
+    scene: sc.Scene, st, pt, con, zlast, zlast_active,
+    act_filter=None, lim_filter=None,
 ) -> ImpactResult:
     """Full no-slip pipeline (apply_no_slip_model_to_connected_constraints,
     src/ImpactConstraintHandler.cpp:236-295)."""
@@ -130,6 +131,10 @@ def resolve_impacts_noslip(
     K = scene.n_contacts
 
     act, act_lim, cn_vel, lim_vel = _active(scene, st, pt, con, nz)
+    if act_filter is not None:
+        act = act & act_filter
+    if lim_filter is not None and scene.n_limits:
+        act_lim = act_lim & lim_filter
     any_impact = jnp.any(act)
     if scene.n_limits:
         any_impact = any_impact | jnp.any(act_lim)

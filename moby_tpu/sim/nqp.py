@@ -224,7 +224,8 @@ def solve_nqp(scene: sc.Scene, p: Problem, act, act_lim, skip=None):
 
 
 def resolve_impacts_nqp(
-    scene: sc.Scene, st, pt, con, zlast, zlast_active
+    scene: sc.Scene, st, pt, con, zlast, zlast_active,
+    act_filter=None, lim_filter=None,
 ) -> ImpactResult:
     """Full NQP pipeline with Poisson restitution + conditional re-solve
     (`apply_model`'s solve_nqp branch + `apply_restitution`,
@@ -234,6 +235,10 @@ def resolve_impacts_nqp(
     K = scene.n_contacts
 
     act, act_lim, _cn_vel, _lim_vel = _active(scene, st, pt, con, nz)
+    if act_filter is not None:
+        act = act & act_filter
+    if lim_filter is not None and scene.n_limits:
+        act_lim = act_lim & lim_filter
     any_impact = jnp.any(act)
     if scene.n_limits:
         any_impact = any_impact | jnp.any(act_lim)

@@ -53,10 +53,17 @@ def main():
     dx = jax.random.uniform(key, (B,), dtype=batched.pos.dtype) * 0.2 - 0.1
     batched = batched.replace(pos=batched.pos.at[:, 0, 0].add(dx))
 
+    # small batches are latency-bound -> parallel alpha fan-out; large
+    # batches are throughput-bound and the fan-out multiplies the working set
+    pls = B < 128
+
     @jax.jit
     def sweep(states):
         return jax.vmap(
-            lambda s: contact_mpc.solve(prob, s, cost, cost_final, n_iters=n_iters).cost
+            lambda s: contact_mpc.solve(
+                prob, s, cost, cost_final, n_iters=n_iters,
+                parallel_line_search=pls,
+            ).cost
         )(states)
 
     t0 = time.time()
