@@ -131,6 +131,7 @@ class Scene:
     slot_mu_v: jnp.ndarray
     slot_compliance: jnp.ndarray
     slot_compliant: jnp.ndarray   # (K,) bool: penalty (spring-damper) contact
+    slot_truecone: jnp.ndarray    # (K,) bool: NK = inf -> true friction cone
     slot_kp: jnp.ndarray          # (K,) penalty stiffness
     slot_kv: jnp.ndarray          # (K,) penalty damping
 
@@ -180,6 +181,10 @@ class Scene:
     # any contact requests the true friction cone (NK = UINF) -> the NQP
     # model for the whole problem (use_qp_solver, :629-640)
     use_nqp: bool = struct.field(pytree_node=False, default=False)
+    # contact slots disagree on the impact model -> per-island (per connected
+    # constraint group) model routing at runtime, the reference's per-group
+    # dispatch (`apply_model`, src/ImpactConstraintHandler.cpp:113-151)
+    mixed_models: bool = struct.field(pytree_node=False, default=False)
     has_compliant: bool = struct.field(pytree_node=False, default=False)
     # constraint-stabilization iteration cap (XML
     # constraint-stabilization-max-iterations; 0 disables)
@@ -787,6 +792,7 @@ class SceneBuilder:
             slot_mu_v=jnp.array(np.array(s_mu_v, dt)),
             slot_compliance=jnp.array(np.array(s_comp, dt)),
             slot_compliant=jnp.array(np.array(s_compliant, bool) if K else np.zeros(0, bool)),
+            slot_truecone=jnp.array(np.array(s_truecone, bool) if K else np.zeros(0, bool)),
             slot_kp=jnp.array(np.array(s_kp, dt)),
             slot_kv=jnp.array(np.array(s_kv, dt)),
             lim_gc_col=jnp.array(np.array(lim_gc_col, np.int32)),
@@ -835,6 +841,25 @@ class SceneBuilder:
                 K > 0
                 and any(
                     t for t, c in zip(s_truecone, s_compliant) if not c
+                )
+            ),
+            # slots disagree on the model -> islands can route differently
+            # (rigid slots only; compliant slots never reach the impact solve)
+            mixed_models=bool(
+                K > 0
+                and (
+                    (
+                        any(m >= 1e2 for m, c in zip(s_mu_c, s_compliant) if not c)
+                        and any(m < 1e2 for m, c in zip(s_mu_c, s_compliant) if not c)
+                    )
+                    or (
+                        any(t for t, c in zip(s_truecone, s_compliant) if not c)
+                        and any(
+                            (not t) and m < 1e2
+                            for t, m, c in zip(s_truecone, s_mu_c, s_compliant)
+                            if not c
+                        )
+                    )
                 )
             ),
             has_compliant=bool(any(s_compliant)),

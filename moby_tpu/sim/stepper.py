@@ -177,7 +177,17 @@ def ca_euler_step(scene: sc.Scene, st, pt, min_dist_obs):
         min_step = jnp.asarray(INF, dtype)
         return _limit_eta(scene, st, min_step), min_dist_obs
 
-    pd, con = nph.narrow_phase(scene, pt.pos, pt.quat, jnp.asarray(nz, dtype))
+    # touch band: constraint stabilization parks separated bodies at
+    # dist = 2·NEAR_ZERO (signed_violation − |eps| − NEAR_ZERO with
+    # eps = NEAR_ZERO, ConstraintStabilization.cpp:431), which sits just
+    # above the reference's `dist > NEAR_ZERO -> generic CA` gate
+    # (CCD.cpp:147) — a rolling sphere parked there makes the reference's
+    # uncapped mini-step loop grind at ~dist/speed s per iteration. The
+    # resting shortcuts below treat the parking band as touching instead.
+    touch_band = 4.0 * nz
+    pd, con = nph.narrow_phase(
+        scene, pt.pos, pt.quat, jnp.asarray(touch_band, dtype)
+    )
     dist = pd.dist
 
     mdo = jnp.where(dist >= 0.0, 0.0, jnp.minimum(min_dist_obs, dist))
@@ -214,9 +224,14 @@ def ca_euler_step(scene: sc.Scene, st, pt, min_dist_obs):
         | (kind == sc.K_BOX_SPHERE)
     )
     sphere_rest = (
-        is_sphereish & (dist <= nz) & (ncon == 1) & (max_abs_cvel < nz * 10)
+        is_sphereish
+        & (dist <= touch_band)
+        & (ncon == 1)
+        & (max_abs_cvel < nz * 10)
     )
-    face_rest = (~is_sphereish) & (dist <= 0.0) & (ncon >= 3) & ~approaching
+    face_rest = (
+        (~is_sphereish) & (dist <= touch_band) & (ncon >= 3) & ~approaching
+    )
 
     step_pair = step_generic
     step_pair = jnp.where((dist <= 0.0) & approaching, 0.0, step_pair)
@@ -272,8 +287,19 @@ class MiniCarry(NamedTuple):
     iters: jnp.ndarray
 
 
-def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
-    """One `do_mini_step` (src/TimeSteppingSimulator.cpp:114-222)."""
+def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None,
+                 tc_floor=None):
+    """One `do_mini_step` (src/TimeSteppingSimulator.cpp:114-222).
+
+    `tc_floor` raises the reference's `min_step_size` floor
+    (TimeSteppingSimulator.cpp:149, `tc = max(min_step_size, CA_step)`) so a
+    crawling conservative-advancement bound cannot stall the fixed iteration
+    budget: the default NEAR_ZERO floor lets a settling contact pin CA at
+    ~1e-8 s, where the reference's uncapped loops grind ~1e6 iterations and
+    our capped loops would silently drop simulated time. The floor only
+    engages when CA < tc_floor (the regime where reference users must set the
+    `min-step-size` XML attribute by hand).
+    """
     dtype = st.pos.dtype
     pos0, quat0, qart0 = st.pos, st.quat, st.q_art
 
@@ -287,7 +313,10 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
         pt = kinematics.compute(scene, st_c)
         ca, mdo = ca_euler_step(scene, st_c, pt, c.mdo)
         brk = ca <= 0.0
-        tc = jnp.maximum(scene.min_step_size, ca)
+        floor = scene.min_step_size
+        if tc_floor is not None:
+            floor = jnp.maximum(floor, tc_floor)
+        tc = jnp.maximum(floor, ca)
         tc = jnp.minimum(dt_rem - c.h, tc)
         newpos = pos0 + st.vel * (c.h + tc)
         newquat = quat.normalize(quat0 + qdot * (c.h + tc))
@@ -395,8 +424,38 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None):
             # split, ConstraintSimulator.cpp:510-520)
             con = con._replace(active=con.active & ~scene.slot_compliant)
         # model dispatch order matches apply_model: all-infinite-mu no-slip
-        # first (:123-131), then NQP when any true cone (use_qp_solver :563)
-        if scene.use_noslip:
+        # first (:123-131), then NQP when any true cone (use_qp_solver :563).
+        # Scenes whose contact slots disagree on the model route *per island*
+        # (the reference's per-connected-group dispatch, :113-151): each model
+        # solves only its islands' constraints (act filters) and the velocity
+        # deltas sum — islands are decoupled, so this equals per-group solves.
+        if scene.mixed_models:
+            from . import noslip
+
+            (f_ns, l_ns), (f_nqp, l_nqp), (f_qp, l_qp) = impact.model_masks(
+                scene, con
+            )
+            res = impact.resolve_impacts(
+                scene, st2, pt, con, st.zlast, st.zlast_active,
+                act_filter=f_qp, lim_filter=l_qp,
+            )
+            res_ns = noslip.resolve_impacts_noslip(
+                scene, st2, pt, con, st.zlast, st.zlast_active,
+                act_filter=f_ns, lim_filter=l_ns,
+            )
+            dv = res.dv + res_ns.dv
+            imp_n = res.impulses_n + res_ns.impulses_n
+            if scene.use_nqp:
+                from . import nqp
+
+                res_nqp = nqp.resolve_impacts_nqp(
+                    scene, st2, pt, con, st.zlast, st.zlast_active,
+                    act_filter=f_nqp, lim_filter=l_nqp,
+                )
+                dv = dv + res_nqp.dv
+                imp_n = imp_n + res_nqp.impulses_n
+            res = impact.ImpactResult(dv, res.zlast, res.zlast_active, imp_n)
+        elif scene.use_noslip:
             from . import noslip
 
             res = noslip.resolve_impacts_noslip(
@@ -490,9 +549,17 @@ def step(scene: sc.Scene, st: sc.State, dt, controller=None) -> sc.State:
         st_c, h_total, iters = carry
         return (h_total < dt) & (iters < MAX_MINI_STEPS)
 
+    # progress floor: the (MAX_MINI_STEPS x MAX_CA_ITERS) iteration budget
+    # must always be able to cover dt, so a crawling CA bound cannot drop
+    # simulated time (see do_mini_step docstring). 2x headroom for the
+    # budget spent on genuine impact mini-steps (h = 0 break iterations).
+    tc_floor = dt / (MAX_MINI_STEPS * MAX_CA_ITERS // 2)
+
     def body(carry):
         st_c, h_total, iters = carry
-        st_n, h = do_mini_step(scene, st_c, dt - h_total, controller)
+        st_n, h = do_mini_step(
+            scene, st_c, dt - h_total, controller, tc_floor=tc_floor
+        )
         return st_n, h_total + h, iters + 1
 
     st_f, h_total, _ = jax.lax.while_loop(

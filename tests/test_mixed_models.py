@@ -1,0 +1,105 @@
+"""Per-island impact-model dispatch (the reference's per-connected-group
+model selection, `ImpactConstraintHandler::apply_model`,
+src/ImpactConstraintHandler.cpp:113-151): a scene whose islands disagree on
+the model (one all-mu>=100 island -> no-slip MLCP, one finite-mu island ->
+QP) must behave island-for-island like the corresponding single-model scenes.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moby_tpu.core import scene as sc
+from moby_tpu.math import quaternion as quat
+from moby_tpu.sim import stepper
+
+
+def _plane_quat():
+    return np.asarray(quat.from_rpy(jnp.array([1.5707963267949, 0.0, 0.0])))
+
+
+def _sliding_sphere_scene(mu_values):
+    """n spheres resting on a plane, each with initial tangential velocity and
+    its own friction coefficient; spheres are far apart (independent islands).
+    """
+    b = sc.SceneBuilder()
+    b.set_gravity([0, 0, -9.81])
+    inertia = sc.sphere_inertia(1.0, 0.5)
+    names = []
+    for i, _ in enumerate(mu_values):
+        n = f"s{i}"
+        names.append(n)
+        b.add_body(n, mass=1.0, inertia=inertia, pos=np.array([10.0 * i, 0, 0.5]))
+        b.add_geom(n, sc.SPHERE, [0.5])
+    b.add_body("ground", enabled=False)
+    b.add_geom("ground", sc.PLANE, [0.0], quat=_plane_quat())
+    for n, mu in zip(names, mu_values):
+        b.set_contact_params(
+            "ground", n, sc.ContactParams(epsilon=0.0, mu_coulomb=mu, nk=4)
+        )
+    # spheres never meet; drop their pair so each island has one model
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            b.disabled_pairs.add(tuple(sorted((names[i], names[j]))))
+    scene, st = b.compile()
+    vel = np.zeros((scene.nb, 3))
+    vel[: len(mu_values), 0] = 1.0  # slide along +x
+    st = st.replace(vel=jnp.asarray(vel, st.vel.dtype))
+    return scene, st
+
+
+def _rollout_pos(scene, st, n=40, dt=0.01):
+    import jax
+
+    stf = jax.jit(lambda s: stepper.step(scene, s, dt))
+    for _ in range(n):
+        st = stf(st)
+    return np.asarray(st.pos), np.asarray(st.vel)
+
+
+def test_mixed_flag_set():
+    scene, _ = _sliding_sphere_scene([1e8, 0.2])
+    assert scene.mixed_models
+    assert not scene.use_noslip
+    scene1, _ = _sliding_sphere_scene([1e8, 1e8])
+    assert scene1.use_noslip and not scene1.mixed_models
+    scene2, _ = _sliding_sphere_scene([0.2, 0.2])
+    assert not scene2.use_noslip and not scene2.mixed_models
+
+
+@pytest.mark.parametrize("mus", [(1e8, 0.2)])
+def test_mixed_matches_single_model_islands(mus):
+    scene_m, st_m = _sliding_sphere_scene(list(mus))
+    pos_m, vel_m = _rollout_pos(scene_m, st_m)
+
+    for i, mu in enumerate(mus):
+        scene_s, st_s = _sliding_sphere_scene([mu])
+        # shift to the island's x offset
+        st_s = st_s.replace(pos=st_s.pos.at[0, 0].add(10.0 * i))
+        pos_s, vel_s = _rollout_pos(scene_s, st_s)
+        np.testing.assert_allclose(pos_m[i], pos_s[0], atol=1e-9)
+        np.testing.assert_allclose(vel_m[i], vel_s[0], atol=1e-9)
+
+
+def test_mixed_models_behavior():
+    """The inf-mu island transitions sliding -> rolling instantly (contact
+    point velocity zero: v = 5/7 v0 for a solid sphere); the finite-mu island
+    keeps slipping."""
+    import jax.numpy as jnp  # noqa: F811
+
+    scene, st = _sliding_sphere_scene([1e8, 0.05])
+    st_f = st
+    import jax
+
+    stf = jax.jit(lambda s: stepper.step(scene, s, 0.01))
+    for _ in range(30):
+        st_f = stf(st_f)
+    vel = np.asarray(st_f.vel)
+    omega = np.asarray(st_f.omega)
+    # no-slip sphere rolls: v = 5/7 v0 and contact-point velocity ~ 0
+    np.testing.assert_allclose(vel[0, 0], 5.0 / 7.0, atol=1e-6)
+    slip0 = vel[0, 0] + omega[0, 1] * (-0.5)  # v + w x r at the contact
+    assert abs(slip0) < 1e-6
+    # low-friction sphere: still slipping
+    slip1 = vel[1, 0] + omega[1, 1] * (-0.5)
+    assert vel[1, 0] > 0.8 and slip1 > 0.1
