@@ -24,11 +24,13 @@ from ..geometry import narrowphase as nph
 from ..math import quaternion as quat
 from ..sim import impact, kinematics
 from ..sim.stepper import forward_dynamics_free, integrate_art_q
-from ..solvers.difflcp import solve_lcp_diff
+from ..solvers.difflcp import solve_lcp_diff_mpc
 
 
 def _diff_lcp(M, q, mask, z0, skip=None):
-    return solve_lcp_diff(M, q, mask, z0), jnp.array(True)
+    if skip is None:
+        skip = jnp.array(False)
+    return solve_lcp_diff_mpc(M, q, mask, z0, skip), jnp.array(True)
 
 
 def dstep(scene: sc.Scene, st: sc.State, dt, u=None) -> sc.State:

@@ -2,9 +2,9 @@
 contact solve (SURVEY.md hard part #5 — differentiating the impact LCP for
 MPC).
 
-Forward: the production pivoting cascade (`solve_lcp`). Backward: at a
-solution (z, w = Mz + q), the active set A = {i : z_i > 0} satisfies
-M_AA z_A + q_A = 0. By the IFT, for perturbations (dM, dq):
+Forward: a pivoting solve. Backward: at a solution (z, w = Mz + q), the
+active set A = {i : z_i > 0} satisfies M_AA z_A + q_A = 0. By the IFT, for
+perturbations (dM, dq):
 
     dz_A = -M_AA^{-1} (dM_A: z + dq_A),   dz_{A^c} = 0
 
@@ -16,14 +16,45 @@ so the VJP pulls cotangents back through one masked linear solve:
 Degenerate contacts (z_i = 0, w_i = 0) get the subgradient with the active
 side chosen by z > tol — the standard choice for contact-implicit trajectory
 optimization.
+
+Two forward variants share the same VJP:
+
+* :func:`solve_lcp_diff` — the full production cascade (`solve_lcp`):
+  regression-grade robustness for offline gradient checks.
+* :func:`solve_lcp_diff_mpc` — the MPC hot path: block principal pivoting
+  (a handful of lock-step iterations) with a single `lcp_fast` fallback, no
+  Tikhonov sweeps and no Lemke. The QP-derived impact LCPs are monotone, so
+  BPP+Murty is finite and the fallback almost never fires; dropping the
+  nested regularization while_loops cuts the sequential depth that dominates
+  a vmapped iLQR rollout step. Honors `skip` so gated second solves
+  (restitution re-solve) cost no pivot iterations.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import lcp as lcp_mod
+
+
+def _ift_bwd(M, q, mask, z, zbar):
+    eps = jnp.asarray(1e-10, M.dtype)
+    active = (z > eps) & mask
+
+    # gbar_A = -M_AA^{-T} zbar_A  (masked solve on the transpose system)
+    outer = active[:, None] & active[None, :]
+    A = jnp.where(outer, M.T, 0.0) + jnp.diag(
+        jnp.where(active, 0.0, 1.0).astype(M.dtype)
+    )
+    gbar = jnp.linalg.solve(A, jnp.where(active, -zbar, 0.0))
+    gbar = jnp.where(active, gbar, 0.0)
+    gbar = jnp.where(jnp.all(jnp.isfinite(gbar)), gbar, jnp.zeros_like(gbar))
+
+    Mbar = gbar[:, None] * z[None, :]
+    qbar = gbar
+    return Mbar, qbar
 
 
 @jax.custom_vjp
@@ -39,21 +70,44 @@ def _fwd(M, q, mask, z0):
 
 def _bwd(res, zbar):
     M, q, mask, z = res
-    eps = jnp.asarray(1e-10, M.dtype)
-    active = (z > eps) & mask
-
-    # gbar_A = -M_AA^{-T} zbar_A  (masked solve on the transpose system)
-    outer = active[:, None] & active[None, :]
-    A = jnp.where(outer, M.T, 0.0) + jnp.diag(
-        jnp.where(active, 0.0, 1.0).astype(M.dtype)
-    )
-    gbar = jnp.linalg.solve(A, jnp.where(active, -zbar, 0.0))
-    gbar = jnp.where(active, gbar, 0.0)
-    gbar = jnp.where(jnp.all(jnp.isfinite(gbar)), gbar, jnp.zeros_like(gbar))
-
-    Mbar = gbar[:, None] * z[None, :]
-    qbar = gbar
+    Mbar, qbar = _ift_bwd(M, q, mask, z, zbar)
     return Mbar, qbar, None, None
 
 
 solve_lcp_diff.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def solve_lcp_diff_mpc(M, q, mask, z0, skip):
+    z, ok = _mpc_forward(M, q, mask, z0, skip)
+    return z
+
+
+def _mpc_forward(M, q, mask, z0, skip):
+    dtype = M.dtype
+    Mp, qp = lcp_mod.pad_lcp(M, q, mask)
+    m_active = jnp.sum(mask).astype(dtype)
+    near_zero = float(np.sqrt(np.finfo(np.dtype(dtype)).eps))
+    check_tol = (
+        m_active * lcp_mod._masked_norm_inf(Mp, mask) * near_zero
+    ).astype(dtype)
+
+    z_bp, ok_bp = lcp_mod.lcp_bpp(M, q, mask, z0=z0, skip=skip)
+    ok_bp = ok_bp & lcp_mod._verify(Mp, qp, z_bp, mask, check_tol)
+    z2, ok2 = lcp_mod.lcp_fast(M, q, mask, z0=z0, skip=ok_bp | skip)
+    z = jnp.where(ok_bp, z_bp, z2)
+    return z, ok_bp | ok2
+
+
+def _fwd_mpc(M, q, mask, z0, skip):
+    z = solve_lcp_diff_mpc(M, q, mask, z0, skip)
+    return z, (M, q, mask, z)
+
+
+def _bwd_mpc(res, zbar):
+    M, q, mask, z = res
+    Mbar, qbar = _ift_bwd(M, q, mask, z, zbar)
+    return Mbar, qbar, None, None, None
+
+
+solve_lcp_diff_mpc.defvjp(_fwd_mpc, _bwd_mpc)
