@@ -108,9 +108,10 @@ def sharded_rollout_2d(scene, mesh: Mesh, batched, dt, n_steps):
 # ---------------------------------------------------------------------------
 
 
-def _apgd_body(matvec, q, mask, L, z0, iters):
-    """APGD on min ½z'Mz+q'z, z>=0. matvec(y) must return M y (full rows
-    visible to the caller — sharded variants psum/all-gather inside)."""
+def _apgd_body(matvec, q, mask, L, z0, iters, axis=None):
+    """APGD on min ½z'Mz+q'z, z>=0. matvec(y) must return M y for the rows
+    this shard owns. When `axis` is given (inside shard_map) the restart dot
+    product is psum-reduced so every row block restarts consistently."""
     dtype = q.dtype
     alpha = 1.0 / L
 
@@ -121,14 +122,20 @@ def _apgd_body(matvec, q, mask, L, z0, iters):
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         beta = (t - 1.0) / t_new
         y_new = z_new + beta * (z_new - z)
-        # gradient restart: momentum fights descent -> reset
-        restart = jnp.vdot(grad, z_new - z) > 0.0
+        # gradient restart: momentum fights descent -> reset (global dot)
+        rdot = jnp.vdot(grad, z_new - z)
+        if axis is not None:
+            rdot = jax.lax.psum(rdot, axis)
+        restart = rdot > 0.0
         y_new = jnp.where(restart, z_new, y_new)
         t_new = jnp.where(restart, jnp.asarray(1.0, dtype), t_new)
         return (z_new, y_new, t_new), None
 
+    t0 = jnp.asarray(1.0, dtype)
+    if axis is not None:
+        t0 = jax.lax.pvary(t0, axis)
     (z, _, _), _ = jax.lax.scan(
-        body, (z0, z0, jnp.asarray(1.0, dtype)), None, length=iters
+        body, (z0, z0, t0), None, length=iters
     )
     return z
 
@@ -172,17 +179,15 @@ def lcp_apgd_sharded(M, q, mask, mesh: Mesh, axis: str = "solver",
             y = jax.lax.all_gather(y_rows, axis, tiled=True)
             return M_rows @ y
 
-        z_rows = _apgd_body(
-            matvec, q_rows, mask_rows, L_full[0], z0_rows, iters
+        return _apgd_body(
+            matvec, q_rows, mask_rows, L_full[0], z0_rows, iters, axis=axis
         )
-        return jax.lax.all_gather(z_rows, axis, tiled=True)
 
     pr = P(axis)
     f = shard_map(
         solve_local,
         mesh=mesh,
         in_specs=(P(axis, None), pr, pr, pr, P(None)),
-        out_specs=P(None),
-        check_rep=False,
+        out_specs=P(axis),
     )
     return f(Mm, qm, mask, z0, L[None])
