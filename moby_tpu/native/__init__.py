@@ -42,6 +42,11 @@ def _load():
         ]
         lib.moby_traj_linf.restype = ctypes.c_double
         lib.moby_traj_linf.argtypes = [dptr, dptr, ctypes.c_int, ctypes.c_int]
+        iptr = ctypes.POINTER(ctypes.c_int)
+        lib.moby_convex_hull.restype = ctypes.c_int
+        lib.moby_convex_hull.argtypes = [dptr, ctypes.c_int, iptr, ctypes.c_int]
+        lib.moby_mesh_com.restype = ctypes.c_double
+        lib.moby_mesh_com.argtypes = [dptr, ctypes.c_int, iptr, ctypes.c_int, dptr]
         _LIB = lib
     return _LIB
 
@@ -77,6 +82,49 @@ def lcp_lemke(M, q, piv_tol=-1.0, zero_tol=-1.0):
     z = np.zeros(n)
     ok = lib.moby_lcp_lemke(_as_ptr(M), _as_ptr(q), n, _as_ptr(z), piv_tol, zero_tol)
     return z, bool(ok)
+
+
+def convex_hull(points):
+    """3-D convex hull (native quickhull; the reference's qhull-backed
+    CompGeom::calc_convex_hull analog). points: (n, 3). Returns
+    (verts (m, 3), faces (f, 3) indices into verts) with outward winding.
+    Falls back to a pure-numpy gift-wrap only via native lib; raises when
+    the library is absent."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    max_faces = max(64, 4 * n)
+    faces = np.zeros((max_faces, 3), dtype=np.int32)
+    iptr = faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    nf = lib.moby_convex_hull(_as_ptr(pts), n, iptr, max_faces)
+    if nf < 0:
+        raise RuntimeError("convex hull face buffer overflow")
+    if nf == 0:
+        raise ValueError("degenerate input (coplanar or < 4 points)")
+    faces = faces[:nf]
+    used = np.unique(faces.ravel())
+    remap = np.full(n, -1, dtype=np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    return pts[used], remap[faces]
+
+
+def mesh_com(verts, faces):
+    """Volume-weighted center of mass (area centroid for open meshes).
+    Returns (com (3,), signed volume)."""
+    lib = _load()
+    v = np.ascontiguousarray(verts, dtype=np.float64)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    com = np.zeros(3)
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    vol = lib.moby_mesh_com(
+        _as_ptr(v), v.shape[0],
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), f.shape[0],
+        _as_ptr(com),
+    )
+    return com, float(vol)
 
 
 def traj_linf(a, b) -> float:

@@ -56,6 +56,10 @@ def main():
     # small batches are latency-bound -> parallel alpha fan-out; large
     # batches are throughput-bound and the fan-out multiplies the working set
     pls = B < 128
+    if "--pls" in sys.argv:
+        pls = True
+    if "--no-pls" in sys.argv:
+        pls = False
 
     @jax.jit
     def sweep(states):
