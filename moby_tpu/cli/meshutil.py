@@ -97,3 +97,27 @@ def adjust_center_main(argv=None):
     print(f"writing adjusted file {out}")
     write_obj(out, v + adj, f)
     return 0
+
+
+def write_wrl(path, verts, faces):
+    """VRML 2.0 IndexedFaceSet (reference programs/objwrl.cpp)."""
+    with open(path, "w") as fh:
+        fh.write("#VRML V2.0 utf8\n")
+        fh.write("Shape {\n  geometry IndexedFaceSet {\n")
+        fh.write("    coord Coordinate { point [\n")
+        for v in verts:
+            fh.write(f"      {v[0]:.17g} {v[1]:.17g} {v[2]:.17g}\n")
+        fh.write("    ] }\n    coordIndex [\n")
+        for f in faces:
+            fh.write(f"      {f[0]} {f[1]} {f[2]} -1,\n")
+        fh.write("    ] } }\n")
+
+
+def objwrl_main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 2:
+        print("syntax: objwrl <input.obj> <output.wrl>", file=sys.stderr)
+        return 1
+    v, f = read_obj(argv[0])
+    write_wrl(argv[1], v, f)
+    return 0

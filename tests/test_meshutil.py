@@ -78,3 +78,15 @@ def test_convexify_and_center_cli(tmp_path):
     assert meshutil.adjust_center_main([str(out), "1.0", "-2.0", "0.5"]) == 0
     av, _ = meshutil.read_obj(tmp_path / "adjusted.hull.obj")
     np.testing.assert_allclose(av, hv + np.array([1.0, -2.0, 0.5]), atol=1e-12)
+
+
+def test_objwrl_cli(tmp_path):
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], float)
+    faces = np.array([[0, 1, 2]], np.int32)
+    src = tmp_path / "tri.obj"
+    meshutil.write_obj(src, verts, faces)
+    out = tmp_path / "tri.wrl"
+    assert meshutil.objwrl_main([str(src), str(out)]) == 0
+    txt = out.read_text()
+    assert txt.startswith("#VRML V2.0 utf8")
+    assert "IndexedFaceSet" in txt and "0 1 2 -1," in txt
