@@ -688,3 +688,52 @@ def pair_distances(scene: sc.Scene, pos, quat_b) -> PairDist:
     """Distances + closest points only (CA loop hot path)."""
     pd, _ = narrow_phase(scene, pos, quat_b, jnp.inf)
     return pd
+
+
+def plane_generic_sweep_bound(scene: sc.Scene, pt, near_zero):
+    """Vertex-sweep CA bound for touching plane-vs-vertex-solid pairs
+    (CCD::calc_next_CA_Euler_step_polyhedron_plane, src/CCD.cpp:407-461,
+    dispatched from calc_next_CA_Euler_step_generic :238-401): every solid
+    vertex still separated from the contact plane can reach it no sooner than
+    dist / max(0, -n·v_rel + |ω_rel|·r).  Returns a (n_pairs,) bound, +inf
+    for pairs of other kinds (the reference's "don't know what to do" INF
+    fallback) and for vertices moving away."""
+    INF = jnp.inf
+    dtype = pt.pos.dtype
+    out = jnp.full(scene.n_pairs, INF, dtype)
+    for kind, grp in scene.kind_groups.items():
+        if kind != sc.K_PLANE_GENERIC or len(grp["pairs"]) == 0:
+            continue
+        pairs = grp["pairs"]
+        nslots = grp["nslots"]
+        ga = scene.pair_g1[pairs]   # plane
+        gb = scene.pair_g2[pairs]   # vertex solid
+        pp, pq = geom_world_pose(scene, pt.pos, pt.quat, ga)
+        sp, sq = geom_world_pose(scene, pt.pos, pt.quat, gb)
+        up = quat.rotate(pq, jnp.array([0.0, 1.0, 0.0], dtype=dtype))
+        verts = scene.geom_verts[gb][:, :nslots]
+        nv = scene.geom_nverts[gb]
+        vw = sp[:, None, :] + quat.rotate(sq[:, None, :], verts)
+        y = jnp.sum((vw - pp[:, None, :]) * up[:, None, :], axis=-1)
+        # ignore vertices already at the plane (reference: dist < NEAR_ZERO)
+        valid = (jnp.arange(nslots)[None, :] < nv[:, None]) & (y >= near_zero)
+
+        s1 = scene.geom_slot[ga]
+        s2 = scene.geom_slot[gb]
+        # relative linear velocity at the solid's geometry origin (the
+        # reference transforms the spatial velocity to the polyhedron pose)
+        v1 = pt.vel[s1] + jnp.cross(pt.omega[s1], sp - pt.pos[s1])
+        v2 = pt.vel[s2] + jnp.cross(pt.omega[s2], sp - pt.pos[s2])
+        lv_dot_n = -jnp.sum(up * (v2 - v1), axis=-1)
+        w_rel = jnp.linalg.norm(pt.omega[s2] - pt.omega[s1], axis=-1)
+        r = jnp.linalg.norm(verts, axis=-1)
+        speed = jnp.maximum(0.0, lv_dot_n[:, None] + w_rel[:, None] * r)
+        step = jnp.where(
+            valid & (speed > 0.0), y / jnp.maximum(speed, 1e-300), INF
+        )
+        bound = jnp.min(
+            jnp.concatenate([step, jnp.full((len(pairs), 1), INF, dtype)], 1),
+            axis=-1,
+        )
+        out = out.at[pairs].set(bound)
+    return out

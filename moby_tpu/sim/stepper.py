@@ -236,9 +236,16 @@ def ca_euler_step(scene: sc.Scene, st, pt, min_dist_obs):
     step_pair = step_generic
     step_pair = jnp.where((dist <= 0.0) & approaching, 0.0, step_pair)
     step_pair = jnp.where(sphere_rest | face_rest, INF, step_pair)
+    # touching non-sphere pair with < 3 contacts (edge/vertex support, e.g. a
+    # box tipping on an edge): the reference routes this through the generic
+    # estimator, which for plane-vs-polyhedron pairs returns the vertex-sweep
+    # bound (calc_next_CA_Euler_step_polyhedron_plane) — the time before any
+    # currently-separated vertex can reach the contact plane — and INF for
+    # shapes it has no estimator for
+    vsweep = nph.plane_generic_sweep_bound(scene, pt, nz)
     step_pair = jnp.where(
         (~is_sphereish) & (dist <= 0.0) & ~approaching & (ncon < 3),
-        jnp.where(step_pair <= 0.0, INF, step_pair),
+        jnp.where(step_pair <= 0.0, vsweep, jnp.minimum(step_pair, vsweep)),
         step_pair,
     )
     sphere_touch_rec = is_sphereish & (dist <= 0.0) & ~sphere_rest & ~approaching
