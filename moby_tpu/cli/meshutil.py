@@ -55,7 +55,11 @@ def convexify_main(argv=None):
         print("syntax: convexify <input> <output>", file=sys.stderr)
         return 1
     verts, _ = read_obj(argv[0])
-    hv, hf = native.convex_hull(verts)
+    try:
+        hv, hf = native.convex_hull(verts)
+    except (RuntimeError, ValueError) as e:
+        print(f"convexify: {e}", file=sys.stderr)
+        return 1
     write_obj(argv[1], hv, hf)
     return 0
 

@@ -77,27 +77,25 @@ def ilqr(
     vxx_fn = jax.hessian(cost_final)
 
     def backward(xs, us, mu):
-        A = jax.vmap(fx_fn)(xs[:-1], us)      # (H, nx, nx)
-        B = jax.vmap(fu_fn)(xs[:-1], us)      # (H, nx, nu)
-        cx = jax.vmap(cx_fn)(xs[:-1], us)
-        cu = jax.vmap(cu_fn)(xs[:-1], us)
-        cxx = jax.vmap(cxx_fn)(xs[:-1], us)
-        cuu = jax.vmap(cuu_fn)(xs[:-1], us)
-        cux = jax.vmap(cux_fn)(xs[:-1], us)
-
         Vx = vx_fn(xs[-1])
         Vxx = vxx_fn(xs[-1])
 
         def bstep(carry, inp):
+            # Jacobians are computed inside the scan step (never materialized
+            # as (H, nx, nx) stacks — the VMEM blow-up that made vmapped iLQR
+            # regress at large B)
             Vx, Vxx, ok = carry
-            A_k, B_k, cx_k, cu_k, cxx_k, cuu_k, cux_k = inp
-            Qx = cx_k + A_k.T @ Vx
-            Qu = cu_k + B_k.T @ Vx
-            Qxx = cxx_k + A_k.T @ Vxx @ A_k
-            Quu = cuu_k + B_k.T @ Vxx @ B_k
-            Qux = cux_k + B_k.T @ Vxx @ A_k
+            x_k, u_k = inp
+            A_k = fx_fn(x_k, u_k)
+            B_k = fu_fn(x_k, u_k)
+            Qx = cx_fn(x_k, u_k) + A_k.T @ Vx
+            Qu = cu_fn(x_k, u_k) + B_k.T @ Vx
+            Qxx = cxx_fn(x_k, u_k) + A_k.T @ Vxx @ A_k
+            Quu = cuu_fn(x_k, u_k) + B_k.T @ Vxx @ B_k
+            Qux = cux_fn(x_k, u_k) + B_k.T @ Vxx @ A_k
             Quu_reg = Quu + mu * jnp.eye(nu, dtype=dtype)
-            # solvability check via Cholesky
+            # solvability check via Cholesky; a failed step poisons `ok` and
+            # the iteration retries at higher mu (Levenberg escalation)
             L = jnp.linalg.cholesky(Quu_reg)
             ok_k = jnp.all(jnp.isfinite(L))
             Quu_inv = jnp.linalg.inv(Quu_reg)
@@ -106,12 +104,13 @@ def ilqr(
             Vx2 = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
             Vxx2 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
             Vxx2 = 0.5 * (Vxx2 + Vxx2.T)
+            ok_k = ok_k & jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
             return (Vx2, Vxx2, ok & ok_k), (k, K)
 
         (_, _, ok), (ks, Ks) = jax.lax.scan(
             bstep,
             (Vx, Vxx, jnp.array(True)),
-            (A, B, cx, cu, cxx, cuu, cux),
+            (xs[:-1], us),
             reverse=True,
         )
         return ks, Ks, ok
@@ -145,7 +144,9 @@ def ilqr(
             c_all = jax.vmap(
                 lambda x, u: _total_cost(cost, cost_final, x, u)
             )(xs_all, us_all)
-            better = c_all < cost_prev
+            # a failed backward pass (non-PD Quu at the current mu) rejects
+            # the whole update: mu escalates below and the iteration retries
+            better = (c_all < cost_prev) & ok & jnp.isfinite(c_all)
             first = jnp.argmax(better)  # first improving alpha (largest step)
             improved = jnp.any(better)
             sel = jnp.where(improved, first, 0)
@@ -157,7 +158,7 @@ def ilqr(
                 best_cost, best_xs, best_us, found = carry2
                 xs2, us2 = forward(xs, us, ks, Ks, alpha)
                 c2 = _total_cost(cost, cost_final, xs2, us2)
-                better = (c2 < best_cost) & ~found
+                better = (c2 < best_cost) & ~found & ok & jnp.isfinite(c2)
                 return (
                     jnp.where(better, c2, best_cost),
                     jnp.where(better, xs2, best_xs),

@@ -88,8 +88,9 @@ def convex_hull(points):
     """3-D convex hull (native quickhull; the reference's qhull-backed
     CompGeom::calc_convex_hull analog). points: (n, 3). Returns
     (verts (m, 3), faces (f, 3) indices into verts) with outward winding.
-    Falls back to a pure-numpy gift-wrap only via native lib; raises when
-    the library is absent."""
+    Requires the native library (make -C native); raises RuntimeError when it
+    is absent and ValueError on degenerate (< 4 affinely independent point)
+    input."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library not built (make -C native)")

@@ -133,7 +133,10 @@ def _apgd_body(matvec, q, mask, L, z0, iters, axis=None):
 
     t0 = jnp.asarray(1.0, dtype)
     if axis is not None:
-        t0 = jax.lax.pvary(t0, axis)
+        try:
+            t0 = jax.lax.pcast(t0, to="varying")
+        except (AttributeError, TypeError):  # older jax: pvary(x, axis)
+            t0 = jax.lax.pvary(t0, axis)
     (z, _, _), _ = jax.lax.scan(
         body, (z0, z0, t0), None, length=iters
     )

@@ -54,6 +54,61 @@ def pad_lcp(M, q, mask):
     return Mp, qp
 
 
+def gj_solve_masked(A, b, active):
+    """Solve the `active`-masked system A x = b by unpivoted Gauss–Jordan.
+
+    A must already be the masked system (identity rows/cols on inactive
+    slots). The masked systems of the principal-pivoting sub-solves are
+    principal submatrices of the QP KKT-LCP matrix, whose symmetric part is
+    PSD — elimination without pivoting is then Cholesky-grade stable, and a
+    (near-)singular submatrix surfaces as a vanishing pivot, which we report
+    via `ok` exactly like the `isfinite` guard on the LAPACK path.
+
+    Why not `jnp.linalg.solve`: on TPU, XLA lowers small LU factorizations to
+    a dynamic-slicing column `While` loop that cannot fuse, and the impact
+    cascade's pivot chains stack dozens of them back-to-back (the measured
+    ~99% of a cold contact step). This fixed-trip `fori_loop` of rank-1
+    updates keeps every step a single fused elementwise+outer-product op that
+    batches over vmap for free.
+
+    Returns (x, ok).
+    """
+    n = b.shape[-1]
+    dtype = A.dtype
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny * 1e8, dtype)
+
+    def step(k, carry):
+        A, b, minpiv = carry
+        prow = A[..., k, :]
+        pb = b[..., k]
+        piv = prow[..., k]
+        apiv = jnp.abs(piv)
+        minpiv = jnp.minimum(minpiv, apiv)
+        inv = jnp.where(apiv > tiny, 1.0 / jnp.where(apiv > tiny, piv, 1.0), 0.0)
+        prow = prow * inv[..., None]
+        pb = pb * inv
+        col = A[..., :, k]
+        factor = col * (1.0 - jax.nn.one_hot(k, n, dtype=dtype))
+        A = A - factor[..., None] * prow[..., None, :]
+        b = b - factor * pb[..., None]
+        A = A.at[..., k, :].set(prow)
+        b = b.at[..., k].set(pb)
+        return A, b, minpiv
+
+    minpiv0 = jnp.full(b.shape[:-1], jnp.inf, dtype)
+    A, b, minpiv = jax.lax.fori_loop(0, n, step, (A, b, minpiv0))
+    # inactive slots have unit pivots; a tiny pivot on an active row means the
+    # masked system was singular
+    ok = (minpiv > tiny) & jnp.all(jnp.isfinite(b), axis=-1)
+    return b, ok
+
+
+def _use_gj(dtype):
+    """Route masked sub-solves through the fused Gauss–Jordan on f32 (the TPU
+    execution dtype); keep LAPACK LU on f64 (CPU regression mode)."""
+    return jnp.dtype(dtype) == jnp.float32
+
+
 def _first_min_index(v, valid):
     """Index of the minimum of v over `valid` slots (first on ties).
 

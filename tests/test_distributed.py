@@ -107,9 +107,7 @@ def test_apgd_sharded_matches_dense():
     M, q = _random_monotone_lcp(key, n)
     mask = jnp.ones(n, bool)
     mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("solver",))
-    z_sh = lcp_apgd_sharded = dist.lcp_apgd_sharded(
-        M, q, mask, mesh, iters=1200
-    )
+    z_sh = dist.lcp_apgd_sharded(M, q, mask, mesh, iters=1200)
     z_ref, ok = lcp_mod.solve_lcp(M, q, mask)
     assert bool(ok)
     np.testing.assert_allclose(np.asarray(z_sh), np.asarray(z_ref), atol=5e-6)
