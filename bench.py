@@ -1,34 +1,63 @@
-"""Benchmark: batched contact-sim rollout throughput on the attached device.
+"""Benchmark: the BASELINE.md north-star metric on the attached device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Metric: scenario-steps/s of the flagship contact scene (3-sphere stack +
-plane, QP-as-LCP impact resolution every step) with B scenarios batched via
-vmap. The operational north star (BASELINE.md) is 10k+ contact-MPC solves/s;
-we report contact-dynamics steps/s (each step = full collision + impact LCP
-solve pipeline) against that 10k/s target.
+Primary metric: **batched contact-MPC solves/s at horizon H=50** (iLQR over
+the IFT-differentiable contact step, ball-push task with Coulomb friction
+mu=0.5) — the BASELINE.json target is 10k+ solves/s on a v5p-16;
+`vs_baseline` is measured against that 10k/s bar.
+
+extra: contact-sim stepping throughput (scenario-steps/s) on the friction +
+restitution sphere stack (mu=0.5, eps=0.3, full collision + impact-LCP
+pipeline every step), batched with vmap over MOBY_BENCH_B scenarios.
+
+Env knobs: MOBY_BENCH_B (step batch, default 512), MOBY_BENCH_MPC_B (MPC
+batch, default 64), MOBY_BENCH_SKIP_MPC / MOBY_BENCH_SKIP_STEPS.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _stack_scene(mu=0.5, eps=0.3, nk=16):
+    import jax.numpy as jnp
+    from moby_tpu.core import scene as sc
+    from moby_tpu.math import quaternion as quat
+
+    b = sc.SceneBuilder()
+    b.set_gravity([0, 0, -9.81])
+    inertia = sc.sphere_inertia(1.0, 1.0)
+    b.add_body("sph1", mass=1.0, inertia=inertia, pos=np.array([0, 0, 1.0]))
+    b.add_body("sph2", mass=1.0, inertia=inertia, pos=np.array([0, 0, 3.0]))
+    b.add_body("sph3", mass=1.0, inertia=inertia, pos=np.array([0, 0, 5.0]))
+    b.add_body("ground", enabled=False)
+    for n in ("sph1", "sph2", "sph3"):
+        b.add_geom(n, sc.SPHERE, [1.0])
+    pq = np.asarray(quat.from_rpy(jnp.array([1.5707963267949, 0, 0])))
+    b.add_geom("ground", sc.PLANE, [0.0], quat=pq)
+    cp = sc.ContactParams(epsilon=eps, mu_coulomb=mu, nk=nk)
+    b.set_contact_params("ground", "sph1", cp)
+    b.set_contact_params("sph1", "sph2", cp)
+    b.set_contact_params("sph2", "sph3", cp)
+    return b.compile()
+
+
+def bench_steps():
+    """Friction+restitution sphere-stack stepping throughput (steps/s)."""
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_scene
     from moby_tpu.sim import stepper
 
-    scene, st = _build_scene()
-
-    B = int(__import__("os").environ.get("MOBY_BENCH_B", "512"))
+    scene, st = _stack_scene()
+    B = int(os.environ.get("MOBY_BENCH_B", "512"))
     batched = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), st
     )
-    # perturb initial heights so scenarios differ (no trivial dedup)
     key = jax.random.PRNGKey(0)
     dz = jax.random.uniform(key, (B, scene.nb), dtype=batched.pos.dtype) * 0.01
     batched = batched.replace(pos=batched.pos.at[:, :, 2].add(dz))
@@ -41,7 +70,6 @@ def main():
         out, _ = jax.lax.scan(f, states, None, length=10)
         return out
 
-    # warmup/compile
     out = rollout_chunk(batched)
     jax.block_until_ready(out)
 
@@ -51,19 +79,101 @@ def main():
         out = rollout_chunk(out)
     jax.block_until_ready(out)
     dt = time.time() - t0
+    return B * 10 * n_chunks / dt
 
-    total_steps = B * 10 * n_chunks
-    steps_per_s = total_steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "contact_sim_scenario_steps_per_s",
-                "value": round(steps_per_s, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_s / 10000.0, 3),
-            }
-        )
+
+def bench_mpc():
+    """Contact-MPC solves/s at H=50 (the BASELINE metric): iLQR ball-push
+    with Coulomb friction through the IFT-differentiable impact LCP."""
+    import jax
+    import jax.numpy as jnp
+
+    from moby_tpu.core import scene as sc
+    from moby_tpu.math import quaternion as quat
+    from moby_tpu.mpc import contact_mpc
+
+    b = sc.SceneBuilder()
+    b.set_gravity([0, 0, -9.81])
+    b.add_body("ball", mass=1.0, inertia=sc.sphere_inertia(1.0, 0.5),
+               pos=np.array([0.0, 0.0, 0.5]))
+    b.add_body("ground", enabled=False)
+    b.add_geom("ball", sc.SPHERE, [0.5])
+    pq = np.asarray(quat.from_rpy(jnp.array([1.5707963267949, 0, 0])))
+    b.add_geom("ground", sc.PLANE, [0.0], quat=pq)
+    b.set_contact_params(
+        "ground", "ball",
+        sc.ContactParams(epsilon=0.0, mu_coulomb=0.5, nk=4),
     )
+    scene, st = b.compile()
+
+    H = 50
+    B = int(os.environ.get("MOBY_BENCH_MPC_B", "64"))
+    n_iters = 4
+    prob = contact_mpc.MPCProblem(scene=scene, template=st, dt=0.02, horizon=H)
+    target = jnp.array([0.5, 0.0], st.pos.dtype)
+
+    def cost(x, u):
+        return 1e-4 * jnp.sum(u[:6] ** 2)
+
+    def cost_final(x):
+        return 50.0 * jnp.sum((x[0:2] - target) ** 2)
+
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), st
+    )
+    key = jax.random.PRNGKey(0)
+    dx = jax.random.uniform(key, (B,), dtype=batched.pos.dtype) * 0.2 - 0.1
+    batched = batched.replace(pos=batched.pos.at[:, 0, 0].add(dx))
+
+    @jax.jit
+    def sweep(states):
+        return jax.vmap(
+            lambda s: contact_mpc.solve(
+                prob, s, cost, cost_final, n_iters=n_iters,
+                parallel_line_search=False,
+            ).cost
+        )(states)
+
+    out = sweep(batched)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = sweep(batched)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    return B * reps / dt, B
+
+
+def main():
+    extra = {}
+    steps_per_s = None
+    if os.environ.get("MOBY_BENCH_SKIP_STEPS") != "1":
+        steps_per_s = bench_steps()
+        extra["contact_sim_steps_per_s"] = round(steps_per_s, 1)
+        extra["steps_B"] = int(os.environ.get("MOBY_BENCH_B", "512"))
+
+    if os.environ.get("MOBY_BENCH_SKIP_MPC") == "1":
+        print(json.dumps({
+            "metric": "contact_sim_scenario_steps_per_s",
+            "value": round(steps_per_s, 1),
+            "unit": "steps/s",
+            "vs_baseline": round(steps_per_s / 10000.0, 3),
+            "extra": extra,
+        }))
+        return
+
+    solves_per_s, mpc_b = bench_mpc()
+    extra["mpc_B"] = mpc_b
+    extra["mpc_iters"] = 4
+    print(json.dumps({
+        "metric": "contact_mpc_solves_per_s_H50",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 10000.0, 4),
+        "extra": extra,
+    }))
 
 
 if __name__ == "__main__":

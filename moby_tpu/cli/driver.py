@@ -11,6 +11,10 @@ Mirrors the reference driver's CLI surface (programs/driver.cpp:566-657):
   -lf=FILE       logging output file
   -or            output timing (s/iter and s/sim-sec, driver.cpp:234-241)
   -oi            output iteration numbers
+  -stats         print per-step LCP solver effort (pivot counts / fallbacks,
+                 the reference's LCP pivot counters, include/Moby/LCP.h:30)
+  -prof=DIR      capture a jax.profiler trace of the run into DIR (the
+                 gperftools PROFILE hook analog, driver.cpp:542-544)
   --cpu          force the float64 CPU backend
   -b=N           batch N identical scenarios (vmap) — TPU-native extension
 
@@ -29,7 +33,7 @@ def main(argv=None):
     opts = {
         "s": None, "mt": float("inf"), "mi": float("inf"), "p": None,
         "w": 0, "r": None, "l": 0, "lf": None, "or": False, "oi": False,
-        "cpu": False, "b": 1,
+        "cpu": False, "b": 1, "stats": False, "prof": None,
     }
     pos = []
     for a in argv:
@@ -55,6 +59,10 @@ def main(argv=None):
             opts["oi"] = True
         elif a == "--cpu":
             opts["cpu"] = True
+        elif a == "-stats":
+            opts["stats"] = True
+        elif a.startswith("-prof="):
+            opts["prof"] = a[6:]
         elif a.startswith("-b="):
             opts["b"] = int(a[3:])
         elif not a.startswith("-"):
@@ -106,6 +114,14 @@ def main(argv=None):
     else:
         step_j = jax.jit(lambda s: stepper.step(scene, s, dt))
 
+    prof_ctx = None
+    if opts["prof"]:
+        from jax import profiler as jprof
+
+        jprof.start_trace(opts["prof"])
+
+    total_pivots = 0
+    total_fallbacks = 0
     it = 0
     t_wall0 = time.time()
     while it < opts["mi"]:
@@ -116,6 +132,13 @@ def main(argv=None):
         st = step_j(st)
         jax.block_until_ready(st.pos)
         it += 1
+        if opts["stats"] and st.solver_pivots is not None:
+            p = int(np.sum(np.asarray(st.solver_pivots)))
+            f = int(np.sum(np.asarray(st.solver_fallbacks)))
+            total_pivots += p
+            total_fallbacks += f
+            if opts["oi"] or it % 100 == 0:
+                print(f"[solver] step {it}: {p} pivots, {f} fallbacks")
         if opts["oi"]:
             print(f"iteration: {it}  simulation time: {t_now:.6f}")
         if opts["or"] and it % 100 == 0:
@@ -127,6 +150,16 @@ def main(argv=None):
         if opts["w"] and it % opts["w"] == 0:
             checkpoint.save(f"driver.state.{it}.npz", st, {"iter": it})
 
+    if opts["prof"]:
+        from jax import profiler as jprof
+
+        jprof.stop_trace()
+        print(f"profiler trace written to {opts['prof']}")
+    if opts["stats"]:
+        print(
+            f"[solver] total: {total_pivots} pivots, {total_fallbacks} "
+            f"fallbacks ({total_pivots/max(it,1):.1f} pivots/step)"
+        )
     el = time.time() - t_wall0
     t_now = float(np.ravel(np.asarray(st.time))[0])
     print(

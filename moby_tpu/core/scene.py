@@ -228,6 +228,11 @@ class State:
     zlast: jnp.ndarray
     zlast_active: jnp.ndarray
     min_dist_obs: jnp.ndarray
+    # solver-effort observability (the reference's LCP pivot counters,
+    # include/Moby/LCP.h:30): accumulated over the mini-steps of the last
+    # `step` call; int32 scalars
+    solver_pivots: jnp.ndarray = None
+    solver_fallbacks: jnp.ndarray = None
 
 
 @dataclass
@@ -909,5 +914,7 @@ class SceneBuilder:
             zlast=jnp.zeros(scene.n_lcp, dt),
             zlast_active=jnp.zeros(K, bool),
             min_dist_obs=jnp.zeros(n_pairs, dt),
+            solver_pivots=jnp.zeros((), jnp.int32),
+            solver_fallbacks=jnp.zeros((), jnp.int32),
         )
         return scene, state

@@ -47,6 +47,8 @@ class ImpactResult(NamedTuple):
     zlast: jnp.ndarray
     zlast_active: jnp.ndarray
     impulses_n: jnp.ndarray  # (K,)
+    pivots: jnp.ndarray = None     # () int32: LCP pivot count of this solve
+    fallbacks: jnp.ndarray = None  # () int32: solver-cascade fallback count
 
 
 def contact_velocities(scene: sc.Scene, pt: PoseTable, con: Contacts):
@@ -323,7 +325,17 @@ def resolve_impacts(
     """
     if lcp_solver is None:
         lcp_solver = lambda M, q, m, z0, skip=None: lcp.solve_lcp(
-            M, q, m, z0=z0, skip=skip
+            M, q, m, z0=z0, skip=skip, with_stats=True
+        )
+
+    def call_solver(M, q, m, z0_, skip_):
+        """Normalize (z, ok) / (z, ok, stats) solver returns."""
+        out = lcp_solver(M, q, m, z0_, skip=skip_)
+        if len(out) == 3:
+            return out
+        z_, ok_ = out
+        return z_, ok_, lcp.LCPStats(
+            pivots=jnp.zeros((), jnp.int32), fallback=jnp.array(False)
         )
     dtype = st.pos.dtype
     nz = cfg.near_zero(dtype)
@@ -344,7 +356,7 @@ def resolve_impacts(
 
     # nothing impacting -> dv is zeroed below anyway; skip the pivot loops
     # (`calc_impacting_unilateral_constraint_forces` early-out)
-    z, ok = lcp_solver(MM, qq, mask, z0, skip=~any_impact)
+    z, ok, st1 = call_solver(MM, qq, mask, z0, ~any_impact)
     cn1, cs1, ct1, l1 = unstack_impulses(scene, z)
     dv1 = impulse_dv(scene, p, cn1, cs1, ct1, l1)
 
@@ -380,7 +392,7 @@ def resolve_impacts(
     MM2, qq2, _ = build_qp_lcp(scene, p2, act, act_lim)
     # the second impact solve only matters when restitution re-triggers
     # impacts — gate its pivot loops out otherwise (depth saving)
-    z3, _ = lcp_solver(MM2, qq2, mask, z, skip=~need_resolve)
+    z3, _, st3 = call_solver(MM2, qq2, mask, z, ~need_resolve)
     cn3, cs3, ct3, l3 = unstack_impulses(scene, z3)
     dv3 = impulse_dv(scene, p2, cn3, cs3, ct3, l3)
 
@@ -407,7 +419,9 @@ def resolve_impacts(
         cn1 + jnp.where(changed, cn2, 0.0) + jnp.where(need_resolve, cn3, 0.0),
         jnp.zeros(K, dtype),
     )
-    return ImpactResult(dv, z_out, za_out, cn_total)
+    pivots = (st1.pivots + st3.pivots).astype(jnp.int32)
+    fallbacks = st1.fallback.astype(jnp.int32) + st3.fallback.astype(jnp.int32)
+    return ImpactResult(dv, z_out, za_out, cn_total, pivots, fallbacks)
 
 
 def group_labels(scene, con):

@@ -480,6 +480,13 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None,
             )
         st2 = kinematics.apply_gc_velocity_delta(scene, st2, res.dv)
         st2 = st2.replace(zlast=res.zlast, zlast_active=res.zlast_active)
+        if res.pivots is not None and st2.solver_pivots is not None:
+            # solver-effort observability (reference pivot counters,
+            # include/Moby/LCP.h:30) accumulated across mini-steps
+            st2 = st2.replace(
+                solver_pivots=st2.solver_pivots + res.pivots,
+                solver_fallbacks=st2.solver_fallbacks + res.fallbacks,
+            )
 
     st2 = st2.replace(time=st.time + h)
     return st2, h
@@ -555,6 +562,13 @@ def step(scene: sc.Scene, st: sc.State, dt, controller=None) -> sc.State:
     def cond(carry):
         st_c, h_total, iters = carry
         return (h_total < dt) & (iters < MAX_MINI_STEPS)
+
+    if st.solver_pivots is not None:
+        # per-step counters: reset at step entry
+        st = st.replace(
+            solver_pivots=jnp.zeros((), jnp.int32),
+            solver_fallbacks=jnp.zeros((), jnp.int32),
+        )
 
     # progress floor: the (MAX_MINI_STEPS x MAX_CA_ITERS) iteration budget
     # must always be able to cover dt, so a crawling CA bound cannot drop

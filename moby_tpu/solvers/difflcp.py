@@ -43,13 +43,9 @@ def _ift_bwd(M, q, mask, z, zbar):
     eps = jnp.asarray(1e-10, M.dtype)
     active = (z > eps) & mask
 
-    # gbar_A = -M_AA^{-T} zbar_A  (masked solve on the transpose system)
-    outer = active[:, None] & active[None, :]
-    A = jnp.where(outer, M.T, 0.0) + jnp.diag(
-        jnp.where(active, 0.0, 1.0).astype(M.dtype)
-    )
-    gbar = jnp.linalg.solve(A, jnp.where(active, -zbar, 0.0))
-    gbar = jnp.where(active, gbar, 0.0)
+    # gbar_A = -M_AA^{-T} zbar_A  (masked solve on the transpose system,
+    # routed through the fused Gauss–Jordan on f32 like the forward pivots)
+    gbar, _ok = lcp_mod.solve_principal(M.T, -zbar, active)
     gbar = jnp.where(jnp.all(jnp.isfinite(gbar)), gbar, jnp.zeros_like(gbar))
 
     Mbar = gbar[:, None] * z[None, :]
@@ -84,6 +80,13 @@ def solve_lcp_diff_mpc(M, q, mask, z0, skip):
 
 
 def _mpc_forward(M, q, mask, z0, skip):
+    if lcp_mod._pallas_route(M.dtype):
+        z, ok, _stats = lcp_mod._solve_accel(M, q, mask, z0, skip, _mpc_xla)
+        return z, ok
+    return _mpc_xla(M, q, mask, z0, skip)
+
+
+def _mpc_xla(M, q, mask, z0, skip):
     dtype = M.dtype
     Mp, qp = lcp_mod.pad_lcp(M, q, mask)
     m_active = jnp.sum(mask).astype(dtype)
