@@ -49,6 +49,7 @@ TORUS = 5
 HEIGHTMAP = 6
 POLYHEDRON = 7
 NONE = 8          # ghost geometry: anchor for custom/plugin contact kernels
+TRIMESH = 9       # non-convex indexed triangle mesh (TriangleMeshPrimitive)
 
 # narrow-phase kind codes (mirrors CCD::find_contacts dispatch,
 # include/Moby/CCD.inl:3-81)
@@ -63,6 +64,9 @@ K_SPHERE_HEIGHTMAP = 7   # A=sphere, B=heightmap, 1 slot
 K_VERTS_HEIGHTMAP = 8    # A=vertex solid, B=heightmap, vmax slots
 K_CONVEX_CONVEX = 9      # A,B convex clouds: GJK + MTV manifold, 8 slots
 K_CONE_PLANE = 10        # A=cone, B=plane, 4 slots
+K_SPHERE_TRIMESH = 11    # A=sphere, B=triangle mesh, 4 slots
+K_TRIMESH_CONVEX = 12    # A=trimesh, B=box: verts-vs-box + corners-vs-mesh
+K_TRIMESH_TRIMESH = 13   # A,B trimeshes: verts-vs-faces both ways, 8 slots
 
 
 def _kind_nslots(kind: int, vmax: int) -> int:
@@ -80,6 +84,12 @@ def _kind_nslots(kind: int, vmax: int) -> int:
         return vmax
     if kind == K_CONVEX_CONVEX:
         return 8  # 4+4 bidirectional vertex-vs-supporting-plane manifold
+    if kind == K_SPHERE_TRIMESH:
+        return 4
+    if kind == K_TRIMESH_CONVEX:
+        return vmax + 8  # mesh verts in box + 8 box corners vs mesh
+    if kind == K_TRIMESH_TRIMESH:
+        return 8  # 4+4 deepest vertices-vs-faces, both directions
     raise ValueError(f"unknown kind {kind}")
 
 
@@ -175,6 +185,8 @@ class Scene:
     n_friction_rows: int = struct.field(pytree_node=False, default=0)
     n_limits: int = struct.field(pytree_node=False, default=0)
     vmax: int = struct.field(pytree_node=False, default=0)
+    geom_faces: jnp.ndarray = None   # (ng, FMAX, 3) int32 triangle indices
+    geom_nfaces: jnp.ndarray = None  # (ng,)
     # all contacts have mu >= 100 -> the no-slip MLCP model
     # (ImpactConstraintHandler::apply_model's `all_inf` branch, :123-131)
     use_noslip: bool = struct.field(pytree_node=False, default=False)
@@ -259,6 +271,7 @@ class GeomDef:
     verts: np.ndarray = None
     rmax: float = None           # override for the CA motion-bound radius
     heights: np.ndarray = None   # (R, C) grid for HEIGHTMAP geoms
+    faces: np.ndarray = None     # (F, 3) int triangle indices for TRIMESH
 
 
 @dataclass
@@ -391,7 +404,7 @@ class SceneBuilder:
         return ab
 
     def add_geom(self, body, gtype, params, pos=None, quat=None, verts=None,
-                 rmax=None, heights=None):
+                 rmax=None, heights=None, faces=None):
         g = GeomDef(
             body=body,
             gtype=gtype,
@@ -401,7 +414,11 @@ class SceneBuilder:
             verts=verts,
             rmax=rmax,
             heights=heights,
+            faces=None if faces is None else np.asarray(faces, np.int32),
         )
+        if g.gtype == TRIMESH:
+            if g.verts is None or g.faces is None:
+                raise ValueError("TRIMESH geometry needs verts and faces")
         if g.gtype == BOX and g.verts is None:
             g.verts = box_vertices(*g.params[:3])
         self.geoms.append(g)
@@ -458,6 +475,26 @@ class SceneBuilder:
             return K_CONVEX_CONVEX, False
         if ta == BOX and tb == POLYHEDRON:
             return K_CONVEX_CONVEX, False
+        # triangle meshes (TriangleMeshPrimitive; narrow-phase analogs of the
+        # reference's generic calc_signed_dist dispatch, CCD.inl:649)
+        if ta == TRIMESH and tb == PLANE:
+            return K_PLANE_GENERIC, True
+        if ta == PLANE and tb == TRIMESH:
+            return K_PLANE_GENERIC, False
+        if ta == TRIMESH and tb == HEIGHTMAP:
+            return K_VERTS_HEIGHTMAP, False
+        if ta == HEIGHTMAP and tb == TRIMESH:
+            return K_VERTS_HEIGHTMAP, True
+        if ta == SPHERE and tb == TRIMESH:
+            return K_SPHERE_TRIMESH, False
+        if ta == TRIMESH and tb == SPHERE:
+            return K_SPHERE_TRIMESH, True
+        if ta == TRIMESH and tb == BOX:
+            return K_TRIMESH_CONVEX, False
+        if ta == BOX and tb == TRIMESH:
+            return K_TRIMESH_CONVEX, True
+        if ta == TRIMESH and tb == TRIMESH:
+            return K_TRIMESH_TRIMESH, False
         return None, False
 
     def compile(self):
@@ -533,10 +570,16 @@ class SceneBuilder:
         vmax = max([1] + [len(g.verts) for g in all_geoms if g.verts is not None])
         geom_verts = np.zeros((ng, vmax, 3), dt)
         geom_nverts = np.zeros(ng, np.int32)
+        fmax = max([1] + [len(g.faces) for g in all_geoms if g.faces is not None])
+        geom_faces = np.zeros((ng, fmax, 3), np.int32)
+        geom_nfaces = np.zeros(ng, np.int32)
         for i, g in enumerate(all_geoms):
             if g.verts is not None:
                 geom_verts[i, : len(g.verts)] = g.verts
                 geom_nverts[i] = len(g.verts)
+            if g.faces is not None:
+                geom_faces[i, : len(g.faces)] = g.faces
+                geom_nfaces[i] = len(g.faces)
 
         # heightmap grid storage: geom_params[0] becomes the grid slot index
         hm_list = [g for g in all_geoms if g.gtype == HEIGHTMAP]
@@ -578,7 +621,7 @@ class SceneBuilder:
                 r = off + float(math.hypot(g.params[0], g.params[1] / 2))
             elif t == TORUS:
                 r = off + float(g.params[0] + g.params[1])
-            elif t == POLYHEDRON and g.verts is not None:
+            elif t in (POLYHEDRON, TRIMESH) and g.verts is not None:
                 r = off + float(np.max(np.linalg.norm(g.verts, axis=1)))
             else:
                 r = off
@@ -590,13 +633,16 @@ class SceneBuilder:
             kind, k, l = slot_owner[s]
             return ("b", k) if kind == "free" else ("a", k, l)
 
-        def slot_cp_name(s):
+        def slot_cp_names(s):
+            """ContactParameters names for this slot, most specific first:
+            link-level ("ab/link") then articulated-body level — the
+            reference's fallback hierarchy geom->body->abody
+            (ConstraintSimulator.cpp:82-155)."""
             kind, k, l = slot_owner[s]
             if kind == "free":
-                return self.bodies[k].name
-            # ContactParameters at the articulated-body level (fallback
-            # hierarchy geom->body->abody, ConstraintSimulator.cpp:82-155)
-            return self.arts[k].name
+                return [self.bodies[k].name]
+            ab = self.arts[k]
+            return [f"{ab.name}/{ab.link_names[l]}", ab.name]
 
         def slot_names_all(s):
             """Names this slot answers to for DisabledPair matching: the
@@ -663,7 +709,17 @@ class SceneBuilder:
             pair_nslots[p] = nsl
             s1 = int(geom_slot[ga])
             s2 = int(geom_slot[gb])
-            cp = self._lookup_cp(slot_cp_name(s1), slot_cp_name(s2))
+            cp = None
+            for n1 in slot_cp_names(s1):
+                for n2 in slot_cp_names(s2):
+                    key = tuple(sorted((n1, n2)))
+                    if key in self.contact_params:
+                        cp = self.contact_params[key]
+                        break
+                if cp is not None:
+                    break
+            if cp is None:
+                cp = ContactParams()
             for _ in range(nsl):
                 s_pair.append(p)
                 s_s1.append(s1)
@@ -810,6 +866,8 @@ class SceneBuilder:
             fr_sin=jnp.array(np.array(fr_sin, dt)),
             geom_verts=jnp.array(geom_verts),
             geom_nverts=jnp.array(geom_nverts),
+            geom_faces=jnp.array(geom_faces),
+            geom_nfaces=jnp.array(geom_nfaces),
             hm_heights=jnp.array(hm_heights),
             hm_size=jnp.array(hm_size),
             gravity=jnp.array(self.gravity.astype(dt)),

@@ -608,6 +608,227 @@ def _convex_convex(scene, pos, quat_b, pairs):
     return d, res.pa, res.pb, pts, nrm, sdist
 
 
+def _mesh_world_tris(scene, pos, quat_b, g):
+    """World vertices, world triangle vertices, and face-validity mask of
+    triangle-mesh geometries g (one per pair)."""
+    from . import trimesh as tmesh
+
+    sp, sq = geom_world_pose(scene, pos, quat_b, g)
+    verts = scene.geom_verts[g]                       # (P, V, 3) local
+    vw = sp[:, None, :] + quat.rotate(sq[:, None, :], verts)
+    faces = scene.geom_faces[g]                       # (P, F, 3)
+    tv = tmesh.gather_triangles(vw, faces)            # (P, F, 3, 3)
+    fvalid = (
+        jnp.arange(faces.shape[1])[None, :] < scene.geom_nfaces[g][:, None]
+    )
+    vvalid = (
+        jnp.arange(verts.shape[1])[None, :] < scene.geom_nverts[g][:, None]
+    )
+    return vw, vvalid, tv, fvalid
+
+
+def _topk_slots(sdist, k):
+    """Indices + masked sdist of the k smallest signed distances (per row)."""
+    vals, idx = jax.lax.top_k(-sdist, k)
+    return idx, -vals
+
+
+def _dedup_points(pts, sd):
+    """Mask out later slots whose contact point coincides with an earlier one
+    (adjacent faces sharing the closest edge/vertex produce duplicates)."""
+    S = pts.shape[-2]
+    d2 = jnp.sum(
+        (pts[..., :, None, :] - pts[..., None, :, :]) ** 2, axis=-1
+    )  # (..., S, S)
+    earlier = jnp.arange(S)[None, :] < jnp.arange(S)[:, None]  # (S, S) j < i
+    dup = jnp.any((d2 < 1e-16) & earlier[None, :, :], axis=-1)
+    return jnp.where(dup, jnp.inf, sd)
+
+
+def _sphere_trimesh(scene, pos, quat_b, pairs):
+    """A = sphere, B = triangle mesh; up to 4 contacts at the nearest faces
+    (the reference resolves this through the generic
+    `calc_signed_dist`/`calc_dist_and_normal` dispatch over the mesh BVH,
+    CCD.inl:649 + TriangleMeshPrimitive::calc_signed_dist)."""
+    from . import trimesh as tmesh
+
+    dtype = pos.dtype
+    ga = scene.pair_g1[pairs]   # sphere
+    gb = scene.pair_g2[pairs]   # mesh
+    c, _ = geom_world_pose(scene, pos, quat_b, ga)
+    r = scene.geom_params[ga, 0]
+    vw, _, tv, fvalid = _mesh_world_tris(scene, pos, quat_b, gb)
+
+    a = tv[:, :, 0, :]
+    b = tv[:, :, 1, :]
+    c3 = tv[:, :, 2, :]
+    q = tmesh.closest_point_triangle(c[:, None, :], a, b, c3)   # (P, F, 3)
+    d = jnp.linalg.norm(c[:, None, :] - q, axis=-1)             # (P, F)
+    nrm = jnp.cross(b - a, c3 - a)
+    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.maximum(nlen, 1e-30)
+    valid = fvalid & (nlen[..., 0] > 1e-20)
+    # candidate faces by UNSIGNED distance (signing first would pull in far
+    # faces whose outward normal faces away — e.g. the underside of a cube
+    # the sphere rests on); the face-normal sign is only meaningful for the
+    # locally nearest faces
+    du = jnp.where(valid, d, jnp.inf)
+    idx, d4u = _topk_slots(du, 4)
+    q4 = jnp.take_along_axis(q, idx[:, :, None], axis=1)        # (P, 4, 3)
+    n_face4 = jnp.take_along_axis(nrm, idx[:, :, None], axis=1)
+    sep_dir = c[:, None, :] - q4
+    s4 = jnp.sign(jnp.sum(sep_dir * n_face4, axis=-1))
+    s4 = jnp.where(s4 == 0, 1.0, s4).astype(dtype)
+    sd4 = jnp.where(jnp.isfinite(d4u), s4 * d4u - r, jnp.inf)
+    sep_len = jnp.linalg.norm(sep_dir, axis=-1, keepdims=True)
+    sep_n = sep_dir / jnp.maximum(sep_len, 1e-30)
+    # normal: from the mesh (geom2) toward the sphere (geom1)
+    n4 = jnp.where(
+        ((s4 < 0) | (sep_len[..., 0] < 1e-9))[..., None], n_face4, sep_n
+    )
+    sd4 = _dedup_points(q4, sd4)
+
+    dist = sd4[:, 0]
+    pb = q4[:, 0, :]
+    pa = c - n4[:, 0, :] * r[:, None]
+    pts = 0.5 * (q4 + (c[:, None, :] - n4 * r[:, None, None]))
+    return dist, pa, pb, pts, n4, sd4
+
+
+def _box_point_sdf(half, cl):
+    """Signed distance, closest surface point (box local) and outward normal
+    for points cl (local box frame). half (P, 3), cl (P, N, 3)."""
+    clamped = jnp.clip(cl, -half[:, None, :], half[:, None, :])
+    dvec = cl - clamped
+    dn = jnp.linalg.norm(dvec, axis=-1)
+    outside = dn > 1e-12
+    face_d = half[:, None, :] - jnp.abs(cl)          # (P, N, 3)
+    ax = jnp.argmin(face_d, axis=-1)                 # (P, N)
+    min_face = jnp.min(face_d, axis=-1)
+    sd = jnp.where(outside, dn, -min_face)
+    n_out = jnp.where(
+        outside[..., None],
+        dvec / jnp.maximum(dn, 1e-30)[..., None],
+        jax.nn.one_hot(ax, 3, dtype=cl.dtype)
+        * jnp.sign(jnp.take_along_axis(cl, ax[..., None], axis=-1)),
+    )
+    # surface point: clamp (outside) or axis projection (inside)
+    surf_in = cl + n_out * min_face[..., None]
+    surf = jnp.where(outside[..., None], clamped, surf_in)
+    return sd, surf, n_out
+
+
+def _trimesh_convex(scene, pos, quat_b, pairs, nslots):
+    """A = triangle mesh, B = box. vmax slots: mesh vertices against the box
+    SDF; 8 slots: box corners against the mesh surface. (Reference: generic
+    vertex/`calc_dist_and_normal` dispatch, CCD.inl:649.)"""
+    from . import trimesh as tmesh
+
+    dtype = pos.dtype
+    ga = scene.pair_g1[pairs]   # trimesh
+    gb = scene.pair_g2[pairs]   # box
+    bp, bq = geom_world_pose(scene, pos, quat_b, gb)
+    half = scene.geom_params[gb, :3]
+    vw, vvalid, tv, fvalid = _mesh_world_tris(scene, pos, quat_b, ga)
+    nv = vw.shape[1]
+
+    # --- mesh vertices vs box SDF
+    cl = quat.inverse_rotate(bq[:, None, :], vw - bp[:, None, :])
+    sd_v, _surf, n_loc = _box_point_sdf(half, cl)
+    sd_v = jnp.where(vvalid, sd_v, jnp.inf)
+    n_v = quat.rotate(bq[:, None, :], n_loc)   # outward from box = g2 -> g1
+    pts_v = vw
+
+    # --- box corners vs mesh surface
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+         for sz in (-1.0, 1.0)], dtype)
+    corners_l = signs[None, :, :] * half[:, None, :]
+    cw = bp[:, None, :] + quat.rotate(bq[:, None, :], corners_l)  # (P, 8, 3)
+    sd_c, q_c, n_out = tmesh.points_vs_mesh(cw, tv, fvalid)
+    sep_dir = q_c - cw
+    sep_len = jnp.linalg.norm(sep_dir, axis=-1, keepdims=True)
+    sep_n = sep_dir / jnp.maximum(sep_len, 1e-30)
+    # normal from the box (geom2) toward the mesh (geom1): -outward of the
+    # mesh when the corner has penetrated (or sits exactly on the surface),
+    # toward the surface otherwise
+    n_c = jnp.where(
+        ((sd_c < 0) | (sep_len[..., 0] < 1e-9))[..., None], -n_out, sep_n
+    )
+    pts_c = cw
+    sd_c = jnp.where(jnp.isfinite(sd_c), sd_c, jnp.inf)
+
+    pts = jnp.concatenate([pts_v, pts_c], axis=1)
+    nrm = jnp.concatenate([n_v, n_c], axis=1)
+    sdist = jnp.concatenate([sd_v, sd_c], axis=1)
+
+    # closest points for the conservative-advancement direction: on the mesh
+    # (pa) and on the box (pb) — part A pairs (mesh vertex, box surface),
+    # part B pairs (mesh surface, box corner)
+    surf_w = bp[:, None, :] + quat.rotate(bq[:, None, :], _surf)
+    pa_all = jnp.concatenate([vw, q_c], axis=1)
+    pb_all = jnp.concatenate([surf_w, cw], axis=1)
+    dist = jnp.min(sdist, axis=-1)
+    imin = jnp.argmin(sdist, axis=-1)
+    pa = jnp.take_along_axis(pa_all, imin[:, None, None], axis=1)[:, 0, :]
+    pb = jnp.take_along_axis(pb_all, imin[:, None, None], axis=1)[:, 0, :]
+    return dist, pa, pb, pts, nrm, sdist
+
+
+def _trimesh_trimesh(scene, pos, quat_b, pairs):
+    """A, B triangle meshes: deepest 4 vertices of each against the other's
+    surface (vertex-vs-closest-triangle with face-normal sign)."""
+    from . import trimesh as tmesh
+
+    ga = scene.pair_g1[pairs]
+    gb = scene.pair_g2[pairs]
+    vwA, vvA, tvA, fvA = _mesh_world_tris(scene, pos, quat_b, ga)
+    vwB, vvB, tvB, fvB = _mesh_world_tris(scene, pos, quat_b, gb)
+
+    # A's vertices vs B's surface
+    sdA, qA, nA_out = tmesh.points_vs_mesh(vwA, tvB, fvB)
+    sdA = jnp.where(vvA, sdA, jnp.inf)
+    idxA, sd4A = _topk_slots(sdA, 4)
+    ptsA = jnp.take_along_axis(vwA, idxA[:, :, None], axis=1)
+    qA4 = jnp.take_along_axis(qA, idxA[:, :, None], axis=1)
+    noutA = jnp.take_along_axis(nA_out, idxA[:, :, None], axis=1)
+    sepA = ptsA - qA4
+    sepA_len = jnp.linalg.norm(sepA, axis=-1, keepdims=True)
+    sepAn = sepA / jnp.maximum(sepA_len, 1e-30)
+    # normal from B (geom2) toward A (geom1): B's outward normal when
+    # penetrating or exactly on the surface (sep vanishes), else the
+    # separation direction
+    useA = (sd4A < 0) | (sepA_len[..., 0] < 1e-9)
+    nA4 = jnp.where(useA[..., None], noutA, sepAn)
+
+    # B's vertices vs A's surface
+    sdB, qB, nB_out = tmesh.points_vs_mesh(vwB, tvA, fvA)
+    sdB = jnp.where(vvB, sdB, jnp.inf)
+    idxB, sd4B = _topk_slots(sdB, 4)
+    ptsB = jnp.take_along_axis(vwB, idxB[:, :, None], axis=1)
+    qB4 = jnp.take_along_axis(qB, idxB[:, :, None], axis=1)
+    noutB = jnp.take_along_axis(nB_out, idxB[:, :, None], axis=1)
+    sepB = qB4 - ptsB
+    sepB_len = jnp.linalg.norm(sepB, axis=-1, keepdims=True)
+    sepBn = sepB / jnp.maximum(sepB_len, 1e-30)
+    useB = (sd4B < 0) | (sepB_len[..., 0] < 1e-9)
+    nB4 = jnp.where(useB[..., None], -noutB, sepBn)
+
+    pts = jnp.concatenate([ptsA, ptsB], axis=1)
+    nrm = jnp.concatenate([nA4, nB4], axis=1)
+    sdist = jnp.concatenate([sd4A, sd4B], axis=1)
+    sdist = _dedup_points(pts, sdist)
+
+    # pa on mesh A, pb on mesh B (CA direction pa - pb must not vanish)
+    pa_all = jnp.concatenate([ptsA, qB4], axis=1)
+    pb_all = jnp.concatenate([qA4, ptsB], axis=1)
+    dist = jnp.min(sdist, axis=-1)
+    imin = jnp.argmin(sdist, axis=-1)
+    pa = jnp.take_along_axis(pa_all, imin[:, None, None], axis=1)[:, 0, :]
+    pb = jnp.take_along_axis(pb_all, imin[:, None, None], axis=1)[:, 0, :]
+    return dist, pa, pb, pts, nrm, sdist
+
+
 _KERNELS = {
     sc.K_SPHERE_SPHERE: _sphere_sphere,
     sc.K_SPHERE_PLANE: _sphere_plane,
@@ -617,6 +838,8 @@ _KERNELS = {
     sc.K_CONE_PLANE: _cone_plane,
     sc.K_SPHERE_HEIGHTMAP: _sphere_heightmap,
     sc.K_CONVEX_CONVEX: _convex_convex,
+    sc.K_SPHERE_TRIMESH: _sphere_trimesh,
+    sc.K_TRIMESH_TRIMESH: _trimesh_trimesh,
 }
 
 
@@ -657,6 +880,10 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
             )
         elif kind == sc.K_VERTS_HEIGHTMAP:
             d, a, b, pts, nrm, sd = _verts_heightmap(
+                scene, pos, quat_b, pairs, grp["nslots"]
+            )
+        elif kind == sc.K_TRIMESH_CONVEX:
+            d, a, b, pts, nrm, sd = _trimesh_convex(
                 scene, pos, quat_b, pairs, grp["nslots"]
             )
         else:

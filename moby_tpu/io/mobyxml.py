@@ -83,9 +83,31 @@ class _Primitive:
     mass: float = 0.0
     inertia: np.ndarray = None  # (3,3) about primitive COM, primitive frame
     verts: np.ndarray = None
+    heights: np.ndarray = None  # (R, C) grid for Heightmap
+    faces: np.ndarray = None    # (F, 3) triangle indices for TriangleMesh
 
 
-def _parse_primitive(el) -> _Primitive:
+def _resolve_path(fname, base_dir):
+    import os
+
+    if os.path.isabs(fname) or base_dir is None:
+        return fname
+    cand = os.path.join(base_dir, fname)
+    return cand if os.path.exists(cand) else fname
+
+
+def _read_heightmap_file(path):
+    """Reference format (HeightmapPrimitive::load_from_xml,
+    src/HeightmapPrimitive.cpp:500-510): 'rows cols' then row-major
+    whitespace-separated heights."""
+    with open(path) as fh:
+        tok = fh.read().split()
+    rows, cols = int(tok[0]), int(tok[1])
+    vals = np.array([float(t) for t in tok[2 : 2 + rows * cols]])
+    return vals.reshape(rows, cols)
+
+
+def _parse_primitive(el, base_dir=None) -> _Primitive:
     tag = el.tag
     pos, quat = _pose_from_attrs(el)
     mass_attr = el.get("mass")
@@ -139,6 +161,76 @@ def _parse_primitive(el) -> _Primitive:
         iz = m * (R ** 2 + 0.75 * r ** 2)
         ix = m * (0.5 * R ** 2 + 0.625 * r ** 2)
         return _Primitive(sc.TORUS, np.array([R, r]), pos, quat, m, np.diag([ix, ix, iz]))
+    if tag == "TriangleMeshInline":
+        # xmlwriter extension: self-contained indexed mesh
+        verts = _floats(el.get("vertices")).reshape(-1, 3)
+        faces = np.array([int(t) for t in el.get("faces").split()],
+                         np.int32).reshape(-1, 3)
+        m = float(mass_attr) if mass_attr else 0.0
+        from ..geometry import trimesh as _tm
+
+        inertia = np.eye(3) * 1e-12
+        if m > 0:
+            try:
+                inertia = _tm.mesh_inertia(m, verts, faces)[0]
+            except ValueError:
+                pass
+        return _Primitive(sc.TRIMESH, np.array([0.0]), pos, quat, m,
+                          inertia, verts, faces=faces)
+    if tag == "HeightmapInline":
+        rows, cols = int(el.get("rows")), int(el.get("cols"))
+        heights = _floats(el.get("heights")).reshape(rows, cols)
+        width = float(el.get("width", 1.0))
+        depth = float(el.get("depth", 1.0))
+        return _Primitive(sc.HEIGHTMAP, np.array([width, depth]), pos, quat,
+                          heights=heights)
+    if tag == "Heightmap":
+        # reference XMLReader::read_heightmap + HeightmapPrimitive XML
+        # attribs: filename ('rows cols' header + row-major grid), width,
+        # depth (src/HeightmapPrimitive.cpp:493-540)
+        heights = _read_heightmap_file(_resolve_path(el.get("filename"), base_dir))
+        width = float(el.get("width", 1.0))
+        depth = float(el.get("depth", 1.0))
+        return _Primitive(sc.HEIGHTMAP, np.array([width, depth]), pos, quat,
+                          heights=heights)
+    if tag == "Polyhedron":
+        # reference XMLReader::read_polyhedron -> PolyhedralPrimitive
+        # (convex polyhedron from an OBJ, src/PolyhedralPrimitive.cpp):
+        # engine representation is the convex vertex cloud
+        from ..geometry import trimesh as _tm
+
+        verts, faces = _tm.load_obj(_resolve_path(el.get("filename"), base_dir))
+        m = float(mass_attr) if mass_attr else 0.0
+        inertia = np.eye(3) * 1e-12
+        if m > 0 and len(faces):
+            try:
+                inertia, com, _vol = _tm.mesh_inertia(m, verts, faces)
+            except ValueError:
+                pass
+        return _Primitive(sc.POLYHEDRON, np.array([0.0]), pos, quat, m,
+                          inertia, verts)
+    if tag == "TriangleMesh":
+        # TriangleMeshPrimitive::load_from_xml attribs: filename (OBJ),
+        # center (recenter mesh on its COM), src/TriangleMeshPrimitive.cpp:199+
+        from ..geometry import trimesh as _tm
+
+        verts, faces = _tm.load_obj(_resolve_path(el.get("filename"), base_dir))
+        m = float(mass_attr) if mass_attr else 0.0
+        inertia = np.eye(3) * 1e-12
+        com = np.zeros(3)
+        if len(faces):
+            try:
+                inertia, com, vol = _tm.mesh_inertia(max(m, 1.0), verts, faces)
+                if m <= 0 and density:
+                    m = float(density) * vol
+                    inertia, com, vol = _tm.mesh_inertia(m, verts, faces)
+            except ValueError:
+                pass
+        center = el.get("center", "true").lower() in ("true", "1")
+        if center:
+            verts = verts - com
+        return _Primitive(sc.TRIMESH, np.array([0.0]), pos, quat, m,
+                          inertia, verts, faces=faces)
     raise ValueError(f"unsupported primitive tag {tag}")
 
 
@@ -161,8 +253,11 @@ def load(path: str, post_build=None):
     (programs/driver.cpp:307-352) for scenes whose geometry/controllers live
     in a plugin .so.
     """
+    import os
+
     tree = ET.parse(path)
     root = tree.getroot()
+    base_dir = os.path.dirname(os.path.abspath(path))
     opts = DriverOptions()
 
     driver = root.find("DRIVER")
@@ -183,8 +278,17 @@ def load(path: str, post_build=None):
 
     for el in moby:
         if el.tag in ("Sphere", "Box", "Plane", "Cylinder", "Cone", "Torus",
-                      "VertexCloud"):
-            prims[el.get("id")] = _parse_primitive(el)
+                      "VertexCloud", "Heightmap", "Polyhedron",
+                      "TriangleMesh", "TriangleMeshInline",
+                      "HeightmapInline"):
+            prims[el.get("id")] = _parse_primitive(el, base_dir)
+        elif el.tag == "TetraMesh":
+            # registered but inert in the reference too: XMLReader::
+            # read_tetramesh's body is commented out (src/XMLReader.cpp:458)
+            import warnings
+
+            warnings.warn("TetraMesh tag is not constructible (matches the "
+                          "reference's disabled read_tetramesh)")
         elif el.tag == "GravityForce":
             gravity_ids.add(el.get("id"))
             gravity = _floats(el.get("accel", "0 0 0"))
@@ -292,7 +396,8 @@ def load(path: str, post_build=None):
             total_pos = gpos + Rg @ p.pos
             total_quat = _quat_mul(gquat, p.quat)
             b.add_geom(
-                bid, p.gtype, p.params, pos=total_pos, quat=total_quat, verts=p.verts
+                bid, p.gtype, p.params, pos=total_pos, quat=total_quat,
+                verts=p.verts, heights=p.heights, faces=p.faces,
             )
 
     for c in sim_el:
@@ -531,6 +636,11 @@ def build_ab_from_world(b, ab_name, links, joints, floating, link_order):
             if j["jtype"] == amdl.SPHERICAL and j["q"] is None:
                 q0 = np.array([0.0, 0, 0, 1.0])
             a_j = Rc.T @ (j["axis"] / max(np.linalg.norm(j["axis"]), 1e-15))
+            a2 = j.get("axis2")
+            a2_j = (
+                None if a2 is None
+                else Rc.T @ (a2 / max(np.linalg.norm(a2), 1e-15))
+            )
 
             E_conf = Rc.T @ Rp
             r_conf = Rp.T @ (L - pp)
@@ -543,6 +653,7 @@ def build_ab_from_world(b, ab_name, links, joints, floating, link_order):
                 Xt_E=Et,
                 Xt_r=rt,
                 axis=a_j,
+                axis2=a2_j,
                 lo=j["lo"],
                 hi=j["hi"],
                 restitution=j["restitution"],

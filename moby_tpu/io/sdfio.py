@@ -57,12 +57,49 @@ _JTYPES = {
     "prismatic": amdl.PRISMATIC,
     "fixed": amdl.FIXED,
     "ball": amdl.SPHERICAL,
+    "universal": amdl.UNIVERSAL,   # reference src/SDFReader.cpp:464
 }
+
+
+def _read_surface(surface_el):
+    """SDF <surface> -> (epsilon, NK, mu_c, mu_v) with the reference's
+    defaults and tag names (SDFReader::read_surface,
+    src/SDFReader.cpp:1130-1171): <bounce><restitution_coefficient> and
+    <friction><moby><mu_coulomb|mu_viscous|num_friction_edges>."""
+    eps, nk, mu_c, mu_v = 0.0, 4, 0.2, 0.0
+    if surface_el is None:
+        return eps, nk, mu_c, mu_v
+    bounce = surface_el.find("bounce")
+    if bounce is not None:
+        cor = bounce.findtext("restitution_coefficient")
+        if cor is not None:
+            eps = float(cor)
+    fric = surface_el.find("friction")
+    if fric is not None:
+        moby = fric.find("moby")
+        if moby is not None:
+            if moby.findtext("mu_coulomb") is not None:
+                mu_c = float(moby.findtext("mu_coulomb"))
+            if moby.findtext("mu_viscous") is not None:
+                mu_v = float(moby.findtext("mu_viscous"))
+            if moby.findtext("num_friction_edges") is not None:
+                nk = int(moby.findtext("num_friction_edges"))
+        else:
+            # gazebo-style <ode><mu>
+            ode = fric.find("ode")
+            if ode is not None and ode.findtext("mu") is not None:
+                mu_c = float(ode.findtext("mu"))
+    return eps, nk, mu_c, mu_v
 
 
 def add_model(builder: sc.SceneBuilder, model_el, base_dir: str,
               floating: bool = False, name: str | None = None):
-    """Parse an SDF <model> into an articulated body on the builder."""
+    """Parse an SDF <model> into an articulated body on the builder.
+
+    Returns (model_name, link_order, surface_data) where surface_data maps
+    full body names ("model/link") to (epsilon, NK, mu_c, mu_v) read from the
+    links' <surface> nodes (the reference's per-body SurfaceData,
+    src/SDFReader.cpp:319)."""
     mname = name or model_el.get("name")
     mpos, mquat = _pose(model_el.find("pose"))
     Rm = _quat_to_R(mquat)
@@ -94,7 +131,10 @@ def add_model(builder: sc.SceneBuilder, model_el, base_dir: str,
                 Ri = _quat_to_R(iquat)
                 inertia = Ri @ I @ Ri.T
         geoms = []
+        surface = None
         for cel in lel.findall("collision"):
+            if cel.find("surface") is not None or surface is None:
+                surface = _read_surface(cel.find("surface"))
             gpos, gquat = _pose(cel.find("pose"))
             geo = cel.find("geometry")
             if geo is None:
@@ -136,6 +176,7 @@ def add_model(builder: sc.SceneBuilder, model_el, base_dir: str,
             com_local=com_local, geoms=geoms,
             lv=np.zeros(3), av=np.zeros(3),
         )
+        links[lname]["surface"] = surface
         link_order.append(lname)
 
     joints = []
@@ -148,7 +189,18 @@ def add_model(builder: sc.SceneBuilder, model_el, base_dir: str,
         parent = jel.findtext("parent")
         axis_el = jel.find("axis")
         axis = np.array([1.0, 0, 0])
+        axis2 = None
         lo = hi = None
+        ax2_el = jel.find("axis2")
+        if ax2_el is not None:
+            axis2 = np.array(
+                [float(x) for x in ax2_el.findtext("xyz", "0 1 0").split()]
+            )
+            upf2 = ax2_el.findtext("use_parent_model_frame", "0").strip()
+            if upf2 not in ("1", "true"):
+                axis2 = _quat_to_R(links[child]["quat"]) @ axis2
+            else:
+                axis2 = Rm @ axis2
         if axis_el is not None:
             axis = np.array([float(x) for x in axis_el.findtext("xyz", "1 0 0").split()])
             lim = axis_el.find("limit")
@@ -184,33 +236,54 @@ def add_model(builder: sc.SceneBuilder, model_el, base_dir: str,
             continue
         joints.append(
             dict(
-                jtype=jt_eff, location=loc, axis=axis,
+                jtype=jt_eff, location=loc, axis=axis, axis2=axis2,
                 inboard=parent, outboard=child,
                 q=None, qd=None, lo=lo, hi=hi, restitution=0.0,
             )
         )
 
     build_ab_from_world(builder, mname, links, joints, floating, link_order)
-    return mname, link_order
+    surface_data = {
+        f"{mname}/{ln}": links[ln]["surface"]
+        for ln in link_order
+        if links[ln].get("surface") is not None
+    }
+    return mname, link_order, surface_data
 
 
 def load(path: str):
-    """Load an SDF file (<sdf><model>...) -> (Scene, State, opts)."""
+    """Load an SDF file (<sdf><world> with any number of <model>s, or a bare
+    <model>) -> (Scene, State, opts)."""
     from .mobyxml import DriverOptions
 
     root = ET.parse(path).getroot()
-    model = root.find("model")
-    if model is None and root.tag == "model":
-        model = root
-    if model is None:
+    models = []
+    if root.tag == "model":
+        models = [root]
+    else:
+        models = root.findall("model")
         world = root.find("world")
         if world is not None:
-            model = world.find("model")
-    if model is None:
+            models += world.findall("model")
+    if not models:
         raise ValueError("no <model> element found")
 
     b = sc.SceneBuilder()
     b.set_gravity([0, 0, -9.81])
-    add_model(b, model, os.path.dirname(os.path.abspath(path)))
+    sdata = {}
+    for model in models:
+        _, _, sd = add_model(b, model, os.path.dirname(os.path.abspath(path)))
+        sdata.update(sd)
+    # surface -> ContactParameters over all body pairs: averaged
+    # epsilon/mu_c/mu_v, max NK (reference src/SDFReader.cpp:331-350)
+    names = sorted(sdata)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            e1, n1, c1, v1 = sdata[names[i]]
+            e2, n2, c2, v2 = sdata[names[j]]
+            b.set_contact_params(names[i], names[j], sc.ContactParams(
+                epsilon=(e1 + e2) / 2, nk=max(n1, n2),
+                mu_coulomb=(c1 + c2) / 2, mu_viscous=(v1 + v2) / 2,
+            ))
     scene, st = b.compile()
     return scene, st, DriverOptions()

@@ -78,6 +78,19 @@ def _prim_element(g: sc.GeomDef, pid: str) -> ET.Element:
     if t == sc.POLYHEDRON:
         attrs["vertices"] = _fmt(g.verts)
         return ET.Element("VertexCloud", attrs)
+    if t == sc.TRIMESH:
+        # inline extension tag (reference TriangleMesh references an OBJ
+        # file; checkpoints must be self-contained)
+        attrs["vertices"] = _fmt(g.verts)
+        attrs["faces"] = " ".join(str(int(i)) for i in np.asarray(g.faces).ravel())
+        return ET.Element("TriangleMeshInline", attrs)
+    if t == sc.HEIGHTMAP:
+        attrs["width"] = repr(float(g.params[0]))
+        attrs["depth"] = repr(float(g.params[1]))
+        attrs["rows"] = str(g.heights.shape[0])
+        attrs["cols"] = str(g.heights.shape[1])
+        attrs["heights"] = _fmt(g.heights)
+        return ET.Element("HeightmapInline", attrs)
     raise ValueError(f"cannot serialize geometry type {t}")
 
 

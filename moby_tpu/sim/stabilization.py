@@ -9,8 +9,13 @@ position-level LCP over the contact-normal Jacobians
 (the reference's `determine_dq`, :932) and move the configuration by the
 resulting generalized displacement. The reference guards the update with a
 Ridders'-rootfinding line search so no *new* violation is introduced
-(`update_q`, :1056); displacements here are ~NEAR_ZERO-scale so the full step
-(t=1) matches the benign case. Iteration-capped; velocities untouched.
+(`update_q`, :1056 / `ridders_unilateral`, :1322); here the guard is a
+fixed-candidate backtracking select (t in {1, 1/2, 1/4}, keep the step with
+the largest post-step violation slack, largest t on ties) — fixed iteration
+count instead of dynamic rootfinding, same no-new-violation invariant. The
+loop is violation-driven with a deep safety cap (the reference's
+`max_iterations`); resting scenes exit after one distance check.
+Velocities untouched.
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ from ..solvers import lcp
 from . import impact
 from . import kinematics
 
-MAX_STAB_ITERS = 4
+MAX_STAB_ITERS = 50   # safety cap; the loop is violation-driven (cond)
 
 
 def _limit_violation(scene, s):
@@ -116,17 +121,37 @@ def stabilize(scene: sc.Scene, st: sc.State) -> sc.State:
             G = JM @ Jb.T + 1e-12 * jnp.eye(Jb.shape[0], dtype=dtype)
             dv = dv - JM.T @ jnp.linalg.solve(G, C)
         nb = scene.nb
-        if nb:
-            dvb = dv[: 6 * nb].reshape(nb, 6)
-            newpos = s.pos + dvb[:, :3]
-            newquat = quat.normalize(s.quat + quat.deriv(s.quat, dvb[:, 3:]))
-            s = s.replace(pos=newpos, quat=newquat)
-        if scene.nv_art:
-            from .stepper import integrate_art_q
 
-            s = s.replace(
-                q_art=integrate_art_q(scene, s.q_art, dv[6 * nb :], 1.0)
-            )
+        def apply_dq(s0, t):
+            s2 = s0
+            if nb:
+                dvb = dv[: 6 * nb].reshape(nb, 6) * t
+                newpos = s0.pos + dvb[:, :3]
+                newquat = quat.normalize(
+                    s0.quat + quat.deriv(s0.quat, dvb[:, 3:])
+                )
+                s2 = s2.replace(pos=newpos, quat=newquat)
+            if scene.nv_art:
+                from .stepper import integrate_art_q
+
+                s2 = s2.replace(
+                    q_art=integrate_art_q(scene, s2.q_art, dv[6 * nb :], t)
+                )
+            return s2
+
+        def slack(s2):
+            # violation slack: min signed distance, netted against bilateral
+            # drift (both are the quantities the reference's loop monitors)
+            return jnp.minimum(min_dist(s2), nz - bilateral_vio(s2))
+
+        # backtracking guard (Ridders analog): try the full projection step
+        # first, halve while it makes the worst violation worse
+        cands = [apply_dq(s, jnp.asarray(t, dtype)) for t in (1.0, 0.5, 0.25)]
+        scores = jnp.stack([slack(c) for c in cands])
+        best = jnp.argmax(scores)   # first (largest t) wins ties
+        s = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs)[best], *cands
+        )
         return s, it + 1
 
     st_f, _ = jax.lax.while_loop(cond, body, (st, jnp.array(0, jnp.int32)))
