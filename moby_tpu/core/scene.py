@@ -187,6 +187,12 @@ class Scene:
     vmax: int = struct.field(pytree_node=False, default=0)
     geom_faces: jnp.ndarray = None   # (ng, FMAX, 3) int32 triangle indices
     geom_nfaces: jnp.ndarray = None  # (ng,)
+    # hull candidate directions for exact convex-convex penetration
+    # (face normals + edge dirs, local frame, deduped up to sign)
+    geom_hull_normals: jnp.ndarray = None  # (ng, FN, 3)
+    geom_nhn: jnp.ndarray = None           # (ng,)
+    geom_hull_edges: jnp.ndarray = None    # (ng, ED, 3)
+    geom_nhe: jnp.ndarray = None           # (ng,)
     # all contacts have mu >= 100 -> the no-slip MLCP model
     # (ImpactConstraintHandler::apply_model's `all_inf` branch, :123-131)
     use_noslip: bool = struct.field(pytree_node=False, default=False)
@@ -298,6 +304,48 @@ def box_vertices(hx, hy, hz) -> np.ndarray:
             for sz in (-1, 1)
         ]
     )
+
+
+def _hull_candidate_dirs(verts):
+    """Face unit normals and edge unit directions (each deduped up to sign)
+    of conv(verts), via the native quickhull. Returns (normals (FN,3),
+    edge_dirs (ED,3)) or (None, None) when the native library is missing or
+    the hull is degenerate."""
+    try:
+        from .. import native
+
+        hv, faces = native.convex_hull(np.asarray(verts, np.float64))
+    except Exception:
+        return None, None
+    if len(faces) == 0:
+        return None, None
+
+    def dedup_dirs(d):
+        d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-300)
+        # canonical hemisphere (sign-insensitive consumers evaluate both)
+        flip = (d[:, 0] < -1e-12) | (
+            (np.abs(d[:, 0]) <= 1e-12) & (d[:, 1] < -1e-12)
+        ) | (
+            (np.abs(d[:, 0]) <= 1e-12) & (np.abs(d[:, 1]) <= 1e-12)
+            & (d[:, 2] < 0)
+        )
+        d = np.where(flip[:, None], -d, d)
+        return np.unique(np.round(d, 9), axis=0)
+
+    a, b, c = hv[faces[:, 0]], hv[faces[:, 1]], hv[faces[:, 2]]
+    fn = np.cross(b - a, c - a)
+    ln = np.linalg.norm(fn, axis=1)
+    fn = fn[ln > 1e-12]
+    normals = dedup_dirs(fn)
+
+    edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+    )
+    ev = hv[edges[:, 1]] - hv[edges[:, 0]]
+    le = np.linalg.norm(ev, axis=1)
+    ev = ev[le > 1e-12]
+    edge_dirs = dedup_dirs(ev)
+    return normals, edge_dirs
 
 
 def sphere_inertia(mass, r):
@@ -573,6 +621,26 @@ class SceneBuilder:
         fmax = max([1] + [len(g.faces) for g in all_geoms if g.faces is not None])
         geom_faces = np.zeros((ng, fmax, 3), np.int32)
         geom_nfaces = np.zeros(ng, np.int32)
+        # hull candidate directions (exact convex-convex penetration): only
+        # for vertex-cloud geoms that meet another convex in a
+        # K_CONVEX_CONVEX pair; TRIMESH/heightmap geoms skip
+        hull_dirs = {}
+        for i, g in enumerate(all_geoms):
+            if g.verts is not None and g.gtype in (BOX, POLYHEDRON):
+                nrm_, ed_ = _hull_candidate_dirs(g.verts)
+                if nrm_ is not None:
+                    hull_dirs[i] = (nrm_, ed_)
+        fn_max = max([1] + [len(v[0]) for v in hull_dirs.values()])
+        ed_max = max([1] + [len(v[1]) for v in hull_dirs.values()])
+        geom_hull_normals = np.zeros((ng, fn_max, 3), dt)
+        geom_nhn = np.zeros(ng, np.int32)
+        geom_hull_edges = np.zeros((ng, ed_max, 3), dt)
+        geom_nhe = np.zeros(ng, np.int32)
+        for i, (nrm_, ed_) in hull_dirs.items():
+            geom_hull_normals[i, : len(nrm_)] = nrm_
+            geom_nhn[i] = len(nrm_)
+            geom_hull_edges[i, : len(ed_)] = ed_
+            geom_nhe[i] = len(ed_)
         for i, g in enumerate(all_geoms):
             if g.verts is not None:
                 geom_verts[i, : len(g.verts)] = g.verts
@@ -868,6 +936,10 @@ class SceneBuilder:
             geom_nverts=jnp.array(geom_nverts),
             geom_faces=jnp.array(geom_faces),
             geom_nfaces=jnp.array(geom_nfaces),
+            geom_hull_normals=jnp.array(geom_hull_normals),
+            geom_nhn=jnp.array(geom_nhn),
+            geom_hull_edges=jnp.array(geom_hull_edges),
+            geom_nhe=jnp.array(geom_nhe),
             hm_heights=jnp.array(hm_heights),
             hm_size=jnp.array(hm_size),
             gravity=jnp.array(self.gravity.astype(dt)),

@@ -228,3 +228,35 @@ def mtv(verts_a, nva, verts_b, nvb, refine_iters: int = 8):
     d, _ = jax.lax.fori_loop(0, refine_iters, body, (d, jnp.asarray(0.35, d.dtype)))
     depth = t_of(d)
     return depth, -d
+
+
+def mtv_exact(verts_a, nva, verts_b, nvb, cands, cand_ok):
+    """Exact convex-polytope penetration depth/normal.
+
+    Minimizes the Minkowski-difference support t(d) = h_A(d) + h_B(-d) over
+    the complete optimum candidate set `cands` (hull face normals of both
+    bodies + pairwise edge-direction cross products, evaluated both signs).
+    For polytopes the minimizing direction is always a face normal of the
+    Minkowski difference, i.e. a member of this set — so this equals EPA's
+    exact answer (the reference's polyhedral V-Clip / signed-distance path,
+    src/Polyhedron.cpp:252-340) with one batched reduction instead of a
+    sequential polytope expansion.
+
+    Returns (depth, n) with n the B->A contact normal, same convention as
+    :func:`mtv`. Only meaningful when the hulls overlap.
+    """
+    va_ok = jnp.arange(verts_a.shape[0]) < nva
+    vb_ok = jnp.arange(verts_b.shape[0]) < nvb
+
+    def t_of(d):
+        da = jnp.einsum("...k,vk->...v", d, verts_a)
+        db = jnp.einsum("...k,vk->...v", d, verts_b)
+        hA = jnp.max(jnp.where(va_ok, da, -jnp.inf), axis=-1)
+        hBm = jnp.max(jnp.where(vb_ok, -db, -jnp.inf), axis=-1)
+        return hA + hBm
+
+    D = jnp.concatenate([cands, -cands], axis=0)
+    ok2 = jnp.concatenate([cand_ok, cand_ok], axis=0)
+    vals = jnp.where(ok2, t_of(D), jnp.inf)
+    i = jnp.argmin(vals)
+    return vals[i], -D[i]

@@ -541,7 +541,38 @@ def _convex_convex(scene, pos, quat_b, pairs):
     nva = scene.geom_nverts[ga]
     nvb = scene.geom_nverts[gb]
     res = jax.vmap(gjk_mod.gjk)(va, nva, vb, nvb)
-    pen_depth, pen_n = jax.vmap(gjk_mod.mtv)(va, nva, vb, nvb)
+    if int(np.max(np.asarray(scene.geom_nhn))) > 0:
+        # exact polytope penetration: minimize the Minkowski-difference
+        # support over hull face normals of both bodies + pairwise
+        # edge-direction cross products (the complete optimum set — equals
+        # EPA / the reference's V-Clip answer, src/Polyhedron.cpp:252-340)
+        fa = quat.rotate(qa[:, None, :], scene.geom_hull_normals[ga])
+        fb = quat.rotate(qb[:, None, :], scene.geom_hull_normals[gb])
+        ea = quat.rotate(qa[:, None, :], scene.geom_hull_edges[ga])
+        eb = quat.rotate(qb[:, None, :], scene.geom_hull_edges[gb])
+        FN = fa.shape[1]
+        ED = ea.shape[1]
+        ok_fa = jnp.arange(FN)[None, :] < scene.geom_nhn[ga][:, None]
+        ok_fb = jnp.arange(FN)[None, :] < scene.geom_nhn[gb][:, None]
+        ok_ea = jnp.arange(ED)[None, :] < scene.geom_nhe[ga][:, None]
+        ok_eb = jnp.arange(ED)[None, :] < scene.geom_nhe[gb][:, None]
+        cr = jnp.cross(ea[:, :, None, :], eb[:, None, :, :]).reshape(
+            ea.shape[0], ED * ED, 3
+        )
+        crn = jnp.linalg.norm(cr, axis=-1, keepdims=True)
+        ok_cr = (
+            (ok_ea[:, :, None] & ok_eb[:, None, :]).reshape(-1, ED * ED)
+            & (crn[..., 0] > 1e-9)
+        )
+        cr = cr / jnp.maximum(crn, 1e-30)
+        cands = jnp.concatenate([fa, fb, cr], axis=1)
+        cand_ok = jnp.concatenate([ok_fa, ok_fb, ok_cr], axis=1)
+        pen_depth, pen_n = jax.vmap(gjk_mod.mtv_exact)(
+            va, nva, vb, nvb, cands, cand_ok
+        )
+    else:
+        # native quickhull unavailable at scene build: sampled-MTV fallback
+        pen_depth, pen_n = jax.vmap(gjk_mod.mtv)(va, nva, vb, nvb)
 
     d = jnp.where(res.intersecting, -pen_depth, res.dist)
     n_sep = res.pa - res.pb
@@ -594,9 +625,37 @@ def _convex_convex(scene, pos, quat_b, pairs):
     sdist = jnp.where(sep[:, None], sdist_sep, sdist)
 
     # fallback: penetrating but no vertex-plane candidates (edge-edge):
-    # deepest vertex pair
+    # closest points between the supporting segments (the two extreme
+    # vertices of each body along the contact normal approximate each
+    # body's supporting edge; exact for genuine edge-edge box contacts)
+    def _seg_seg_mid(a1, a2, b1, b2):
+        u = a2 - a1
+        v = b2 - b1
+        w0 = a1 - b1
+        a_ = jnp.sum(u * u, -1)
+        b_ = jnp.sum(u * v, -1)
+        c_ = jnp.sum(v * v, -1)
+        d_ = jnp.sum(u * w0, -1)
+        e_ = jnp.sum(v * w0, -1)
+        den = a_ * c_ - b_ * b_
+        sn = jnp.where(den > 1e-18, (b_ * e_ - c_ * d_) / jnp.where(den > 1e-18, den, 1.0), 0.0)
+        sn = jnp.clip(sn, 0.0, 1.0)
+        tn = jnp.where(c_ > 1e-18, (b_ * sn + e_) / jnp.where(c_ > 1e-18, c_, 1.0), 0.0)
+        tn = jnp.clip(tn, 0.0, 1.0)
+        pa2 = a1 + u * sn[..., None]
+        pb2 = b1 + v * tn[..., None]
+        return 0.5 * (pa2 + pb2)
+
+    # two extreme vertices of A along -n and of B along +n
+    da_sorted = jnp.argsort(jnp.where(vmask_a, dots_a, jnp.inf), axis=1)
+    db_sorted = jnp.argsort(jnp.where(vmask_b, -dots_b, jnp.inf), axis=1)
+    a1 = va[rows[:, 0], da_sorted[:, 0]]
+    a2 = va[rows[:, 0], da_sorted[:, 1]]
+    b1 = vb[rows[:, 0], db_sorted[:, 0]]
+    b2 = vb[rows[:, 0], db_sorted[:, 1]]
+    fb_pt = _seg_seg_mid(a1, a2, b1, b2)
+
     have = jnp.any(jnp.isfinite(sdist), axis=1)
-    fb_pt = 0.5 * (res.pa + res.pb)
     pts = jnp.where(have[:, None, None], pts, fb_pt[:, None, :])
     sdist = jnp.where(
         have[:, None],

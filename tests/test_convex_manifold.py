@@ -69,3 +69,110 @@ class TestManifoldRest:
         q = np.asarray(st.quat[0])
         assert abs(q[3]) > 0.9999, f"tipped: {q}"
         assert np.linalg.norm(np.asarray(st.vel[0])) < 1e-2
+
+
+def _scene_two_boxes(pos2, quat2=None):
+    from moby_tpu.geometry import narrowphase as nph
+    from moby_tpu.sim import kinematics
+
+    b = sc.SceneBuilder()
+    b.set_gravity([0, 0, -9.81])
+    b.add_body("A", enabled=False)
+    b.add_geom("A", sc.POLYHEDRON, [0.0], verts=cube_verts(0.5))
+    b.add_body("B", mass=1.0, inertia=sc.box_inertia(1.0, 0.5, 0.5, 0.5),
+               pos=np.asarray(pos2, np.float64),
+               quat=None if quat2 is None else np.asarray(quat2))
+    b.add_geom("B", sc.POLYHEDRON, [0.0], verts=cube_verts(0.5))
+    b.set_contact_params("A", "B", sc.ContactParams())
+    scene, st = b.compile()
+    pt = kinematics.compute(scene, st)
+    pd, con = nph.narrow_phase(scene, pt.pos, pt.quat, 0.05)
+    return scene, st, pd, con
+
+
+class TestExactEPA:
+    """Exact polytope penetration (mtv_exact over hull face normals +
+    edge-cross candidates) — VERDICT round-1 item 6: box-on-box edge contact
+    and deep penetration must agree with the analytic normal."""
+
+    def test_face_penetration_depth_and_normal(self):
+        # B overlaps A by exactly 0.12 along +x
+        scene, st, pd, con = _scene_two_boxes([0.88, 0.0, 0.0])
+        assert abs(float(pd.dist[0]) + 0.12) < 1e-9, float(pd.dist[0])
+        act = np.asarray(con.active)
+        nrm = np.asarray(con.normal)[act]
+        # normal from B (geom2) toward A (geom1) = -x... A is geom1 here:
+        # contact normal must be +-x exactly
+        assert np.allclose(np.abs(nrm[:, 0]), 1.0, atol=1e-9), nrm
+
+    def test_deep_penetration(self):
+        # deep overlap 0.6 along z: sampled MTV would drift off-axis;
+        # the exact solve must return the face normal and exact depth
+        scene, st, pd, con = _scene_two_boxes([0.0, 0.0, 0.4])
+        assert abs(float(pd.dist[0]) + 0.6) < 1e-9, float(pd.dist[0])
+        act = np.asarray(con.active)
+        nrm = np.asarray(con.normal)[act]
+        assert np.allclose(np.abs(nrm[:, 2]), 1.0, atol=1e-9), nrm
+
+    def test_edge_edge_contact(self):
+        # B rotated 45 deg about x, lowered so its edge crosses A's top
+        # edge: the contact normal is the normalized cross of the two edge
+        # directions -> analytic (0, -sin45... ) compute: A top +z face,
+        # edges along x and y; B's lowest edge runs along x. Place B so its
+        # lowest edge (along x) crosses A's top edge (along y).
+        c, s45 = np.cos(np.pi / 4), np.sin(np.pi / 4)
+        q2 = np.array([s45 * np.sin(np.pi / 8) * 0, 0, 0, 1.0])
+        # quat for rotation about x by 45deg: (sin22.5, 0, 0, cos22.5)
+        q2 = np.array([np.sin(np.pi / 8), 0.0, 0.0, np.cos(np.pi / 8)])
+        # B's lowest edge after rot-x45: along x at depth sqrt(2)/2 below
+        # its center. Overlap A's top edge (along y at z=0.5 edge x=0.5):
+        # shift B in x so edges cross
+        z2 = 0.5 + np.sqrt(2) / 2 - 0.1   # 0.1 penetration along z
+        scene, st, pd, con = _scene_two_boxes([0.45, 0.0, z2], q2)
+        d = float(pd.dist[0])
+        assert d < 0.0, d
+        act = np.asarray(con.active)
+        assert act.any()
+        nrm = np.asarray(con.normal)[act]
+        # edge dirs: A's top +y edge? B's lowest edge along +x; A's edges at
+        # the crossing are along x and y. cross(x_B, y_A) = z: for crossing
+        # perpendicular edges (x and y), normal = +-z exactly
+        assert np.allclose(np.abs(nrm[:, 2]), 1.0, atol=1e-6), nrm
+
+    def test_octahedron_stack_rests(self):
+        octa = np.array(
+            [[0.5, 0, 0], [-0.5, 0, 0], [0, 0.5, 0], [0, -0.5, 0],
+             [0, 0, 0.5], [0, 0, -0.5]])
+        from moby_tpu.math import quaternion as quat
+
+        b = sc.SceneBuilder()
+        b.set_gravity([0, 0, -9.81])
+        b.add_body("ground", enabled=False)
+        pq = np.asarray(quat.from_rpy(jnp.array([1.5707963267949, 0, 0])))
+        b.add_geom("ground", sc.PLANE, [0.0], quat=pq)
+        b.add_body("o1", mass=1.0, inertia=np.eye(3) * 0.05,
+                   pos=np.array([0, 0, 0.5]))
+        b.add_geom("o1", sc.POLYHEDRON, [0.0], verts=octa)
+        b.add_body("o2", mass=1.0, inertia=np.eye(3) * 0.05,
+                   pos=np.array([0, 0, 1.52]))
+        b.add_geom("o2", sc.POLYHEDRON, [0.0], verts=octa)
+        cp = sc.ContactParams(epsilon=0.0, mu_coulomb=0.5)
+        b.set_contact_params("ground", "o1", cp)
+        b.set_contact_params("o1", "o2", cp)
+        scene, st = b.compile()
+
+        @jax.jit
+        def roll(s):
+            def f(s, _):
+                return stepper.step(scene, s, 0.01), None
+            return jax.lax.scan(f, s, None, length=250)[0]
+
+        fin = roll(st)
+        # octahedra on their tips tip over and settle on faces (inradius
+        # 0.5/sqrt(3) = 0.289) — assert a stable, still-stacked rest rather
+        # than the unstable vertex balance
+        z = np.asarray(fin.pos[1:, 2])
+        assert z[0] > 0.25, f"o1 sank: {z}"
+        assert z[1] - z[0] > 0.3, f"stack collapsed: {z}"
+        assert float(jnp.max(jnp.abs(fin.vel[1:]))) < 0.5, "still tumbling"
+        assert np.all(np.isfinite(np.asarray(fin.quat)))
