@@ -12,7 +12,7 @@ restitution sphere stack (mu=0.5, eps=0.3, full collision + impact-LCP
 pipeline every step), batched with vmap over MOBY_BENCH_B scenarios.
 
 Env knobs: MOBY_BENCH_B (step batch, default 512), MOBY_BENCH_MPC_B (MPC
-batch, default 64), MOBY_BENCH_SKIP_MPC / MOBY_BENCH_SKIP_STEPS.
+batch, default 256), MOBY_BENCH_SKIP_MPC / MOBY_BENCH_SKIP_STEPS.
 """
 
 import json
@@ -107,7 +107,7 @@ def bench_mpc():
     scene, st = b.compile()
 
     H = 50
-    B = int(os.environ.get("MOBY_BENCH_MPC_B", "64"))
+    B = int(os.environ.get("MOBY_BENCH_MPC_B", "256"))
     n_iters = 4
     prob = contact_mpc.MPCProblem(scene=scene, template=st, dt=0.02, horizon=H)
     target = jnp.array([0.5, 0.0], st.pos.dtype)

@@ -6,7 +6,11 @@ self-contained HTML file: an embedded-JSON canvas animation (orthographic
 side/top views, body outlines from their collision geometry), no external
 assets.
 
-Usage: python -m moby_tpu.cli.render [--cpu] scene.xml traj.dat out.html
+Usage:
+  python -m moby_tpu.cli.render [--cpu] scene.xml traj.dat out.html
+  python -m moby_tpu.cli.render [--cpu] --movie FRAMEDIR [--fps N] scene.xml traj.dat
+    writes numbered PNG frames (the reference `moby-render`'s image-sequence
+    mode, programs/render.cpp) via matplotlib's headless Agg backend
 """
 
 from __future__ import annotations
@@ -18,11 +22,22 @@ import sys
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     use_cpu = "--cpu" in argv
+    movie_dir = None
+    fps = 30
+    if "--movie" in argv:
+        i = argv.index("--movie")
+        movie_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if "--fps" in argv:
+        i = argv.index("--fps")
+        fps = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     pos = [a for a in argv if not a.startswith("-")]
-    if len(pos) < 3:
+    if len(pos) < (2 if movie_dir else 3):
         print(__doc__)
         return 1
-    xml_path, traj_path, out_path = pos[:3]
+    xml_path, traj_path = pos[:2]
+    out_path = pos[2] if len(pos) > 2 else None
 
     if use_cpu:
         import jax
@@ -60,6 +75,9 @@ def main(argv=None):
     stride = max(1, len(traj) // 2000)
     traj = traj[::stride]
 
+    if movie_dir is not None:
+        return _render_movie(scene, order, traj, movie_dir, fps)
+
     data = {
         "names": [scene.body_names[i] for i in order],
         "geoms": geoms,
@@ -71,6 +89,91 @@ def main(argv=None):
     with open(out_path, "w") as f:
         f.write(html)
     print(f"wrote {out_path}: {len(traj)} frames, {len(order)} bodies")
+    return 0
+
+
+def _render_movie(scene, order, traj, out_dir, fps):
+    """PNG frame sequence (the reference moby-render's per-iteration image
+    dump, programs/render.cpp) using matplotlib 3D wireframes."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from ..core import scene as sc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    gslot = np.asarray(scene.geom_slot)
+    gtypes = None
+    # geometry wireframes in local frame: (segments list per geom)
+    gverts = np.asarray(scene.geom_verts)
+    gnverts = np.asarray(scene.geom_nverts)
+    gparams = np.asarray(scene.geom_params)
+    gpos = np.asarray(scene.geom_pos)
+
+    def body_wire(b):
+        segs = []
+        for g in range(scene.ng):
+            if gslot[g] != b:
+                continue
+            nv = int(gnverts[g])
+            if nv >= 2:
+                v = gverts[g, :nv] + gpos[g]
+                # connect each vertex to its 3 nearest neighbours
+                d = np.linalg.norm(v[:, None] - v[None, :], axis=-1)
+                for i in range(nv):
+                    for j in np.argsort(d[i])[1:4]:
+                        segs.append((v[i], v[j]))
+            elif gparams[g, 0] > 0:
+                # sphere-ish: 3 great circles of radius params[0]
+                r = gparams[g, 0]
+                t = np.linspace(0, 2 * np.pi, 24)
+                for axes in ((0, 1), (0, 2), (1, 2)):
+                    c = np.zeros((24, 3))
+                    c[:, axes[0]] = r * np.cos(t)
+                    c[:, axes[1]] = r * np.sin(t)
+                    c += gpos[g]
+                    segs += list(zip(c[:-1], c[1:]))
+        return segs
+
+    wires = {b: body_wire(b) for b in order}
+
+    def quat_R(q):
+        x, y, z, w = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    lo = traj[:, 1:].reshape(len(traj), -1, 7)[:, :, :3].min(axis=(0, 1)) - 1
+    hi = traj[:, 1:].reshape(len(traj), -1, 7)[:, :, :3].max(axis=(0, 1)) + 1
+
+    stride = max(1, len(traj) // 600)
+    frames = traj[::stride]
+    colors = plt.cm.tab10(np.linspace(0, 1, max(len(order), 2)))
+    for fi, fr in enumerate(frames):
+        fig = plt.figure(figsize=(6.4, 4.8), dpi=100)
+        ax = fig.add_subplot(projection="3d")
+        for k, b in enumerate(order):
+            p = fr[1 + 7 * k : 4 + 7 * k]
+            q = fr[4 + 7 * k : 8 + 7 * k]
+            R = quat_R(q)
+            for a, bb in wires[b]:
+                pa = p + R @ a
+                pb = p + R @ bb
+                ax.plot([pa[0], pb[0]], [pa[1], pb[1]], [pa[2], pb[2]],
+                        color=colors[k % len(colors)], lw=0.8)
+        ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1])
+        ax.set_zlim(lo[2], hi[2])
+        ax.set_title(f"t = {fr[0]:.3f} s")
+        fig.savefig(os.path.join(out_dir, f"frame{fi:05d}.png"))
+        plt.close(fig)
+    print(f"wrote {len(frames)} frames to {out_dir} (fps hint {fps})")
     return 0
 
 

@@ -80,9 +80,11 @@ def solve_lcp_diff_mpc(M, q, mask, z0, skip):
 
 
 def _mpc_forward(M, q, mask, z0, skip):
-    if lcp_mod._pallas_route(M.dtype):
-        z, ok, _stats = lcp_mod._solve_accel(M, q, mask, z0, skip, _mpc_xla)
-        return z, ok
+    # deliberately NOT the full `_solve_accel`: MPC impact LCPs are small
+    # (single-digit active sets) and sit inside an H=50 rollout scanned 4+
+    # iLQR iterations deep — a Pallas launch per step costs more than the
+    # straggler decoupling buys. BPP with fused-GJ sub-solves + one lcp_fast
+    # fallback is the lean path (the GJ route arrives via solve_principal).
     return _mpc_xla(M, q, mask, z0, skip)
 
 
