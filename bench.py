@@ -20,6 +20,13 @@ import os
 import sys
 import time
 
+# persistent compilation cache: repeat runs (and the CI driver's end-of-round
+# invocation) reuse compiled executables instead of re-running the remote
+# TPU compiler, which has shown multi-minute latency spikes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_moby")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 

@@ -103,12 +103,9 @@ def _render_movie(scene, order, traj, out_dir, fps):
     import matplotlib.pyplot as plt
     import numpy as np
 
-    from ..core import scene as sc
-
     os.makedirs(out_dir, exist_ok=True)
 
     gslot = np.asarray(scene.geom_slot)
-    gtypes = None
     # geometry wireframes in local frame: (segments list per geom)
     gverts = np.asarray(scene.geom_verts)
     gnverts = np.asarray(scene.geom_nverts)

@@ -102,3 +102,29 @@ def solve(
         f, cost, cost_final, x0, us0, n_iters=n_iters,
         parallel_line_search=parallel_line_search,
     )
+
+
+def solve_batch(
+    prob: MPCProblem,
+    states,
+    cost,
+    cost_final,
+    us0=None,
+    n_iters: int = 10,
+) -> ilqr.ILQRResult:
+    """Batched contact-MPC solve through `ilqr.ilqr_batched`: identical
+    per-scenario semantics to `vmap(solve)` but with the batch-voted
+    early-exit line search (most members accept alpha=1 near convergence,
+    so the 8-alpha lock-step fan-out is skipped when unanimous)."""
+    scene = prob.scene
+    f = make_dynamics(scene, prob.template, prob.dt)
+    x0s = jax.vmap(lambda s: pack(scene, s))(states)
+    nu = scene.ngc
+    us0 = (
+        us0
+        if us0 is not None
+        else jnp.zeros((prob.horizon, nu), x0s.dtype)
+    )
+    return ilqr.ilqr_batched(
+        f, cost, cost_final, x0s, us0, n_iters=n_iters
+    )

@@ -179,3 +179,171 @@ def ilqr(
         length=n_iters,
     )
     return ILQRResult(us=us, xs=xs, cost=c, n_iters=jnp.array(n_iters))
+
+
+def ilqr_batched(
+    f: Callable,
+    cost: Callable,
+    cost_final: Callable,
+    x0s: jnp.ndarray,
+    us0: jnp.ndarray,
+    n_iters: int = 10,
+    mu_init: float = 1e-6,
+    line_search_steps: int = 8,
+) -> ILQRResult:
+    """Batch-level iLQR: like vmap(ilqr) but with a batch-voted early-exit
+    backtracking line search.
+
+    Under `vmap(ilqr)` the 8-alpha backtracking scan evaluates EVERY alpha
+    for every member (lock-step); near convergence almost every member
+    accepts alpha = 1, so ~7/8 of the line-search rollouts are waste — and
+    the line search is most of an iteration's rollout work. Here the batch
+    axis is explicit: a `lax.while_loop` walks alphas largest-first and
+    exits as soon as every member has found an improving step (identical
+    accept-first-improving semantics per member; members that already
+    accepted stop updating).
+
+    f/cost/cost_final are per-scenario functions (vmapped internally);
+    x0s (B, nx); us0 (B, H, nu) or (H, nu) broadcast.
+    """
+    B, nx = x0s.shape
+    if us0.ndim == 2:
+        us0 = jnp.broadcast_to(us0[None], (B,) + us0.shape)
+    H, nu = us0.shape[1:]
+    dtype = x0s.dtype
+
+    fB = jax.vmap(f)
+    costB = jax.vmap(cost)
+    cost_finalB = jax.vmap(cost_final)
+
+    fx_fn = jax.vmap(jax.jacrev(f, argnums=0))
+    fu_fn = jax.vmap(jax.jacrev(f, argnums=1))
+    cx_fn = jax.vmap(jax.grad(cost, argnums=0))
+    cu_fn = jax.vmap(jax.grad(cost, argnums=1))
+    cxx_fn = jax.vmap(jax.hessian(cost, argnums=0))
+    cuu_fn = jax.vmap(jax.hessian(cost, argnums=1))
+    cux_fn = jax.vmap(jax.jacrev(jax.grad(cost, argnums=1), argnums=0))
+    vx_fn = jax.vmap(jax.grad(cost_final))
+    vxx_fn = jax.vmap(jax.hessian(cost_final))
+
+    def rollout(x0s_, uss):
+        def step(x, u):
+            x2 = fB(x, u)
+            return x2, x2
+
+        _, xs = jax.lax.scan(step, x0s_, jnp.swapaxes(uss, 0, 1))
+        return jnp.concatenate([x0s_[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
+
+    def total_cost(xss, uss):
+        cs = jax.vmap(
+            lambda xs, us: jax.vmap(cost)(xs[:-1], us).sum() + cost_final(xs[-1])
+        )(xss, uss)
+        return cs  # (B,)
+
+    def backward(xss, uss, mus):
+        Vx = vx_fn(xss[:, -1])
+        Vxx = vxx_fn(xss[:, -1])
+        eye = jnp.eye(nu, dtype=dtype)
+
+        def bstep(carry, inp):
+            Vx, Vxx, ok = carry
+            x_k, u_k = inp          # (B, nx), (B, nu)
+            A_k = fx_fn(x_k, u_k)
+            B_k = fu_fn(x_k, u_k)
+            Qx = cx_fn(x_k, u_k) + jnp.einsum("bij,bi->bj", A_k, Vx)
+            Qu = cu_fn(x_k, u_k) + jnp.einsum("bij,bi->bj", B_k, Vx)
+            Qxx = cxx_fn(x_k, u_k) + jnp.einsum(
+                "bji,bjk,bkl->bil", A_k, Vxx, A_k)
+            Quu = cuu_fn(x_k, u_k) + jnp.einsum(
+                "bji,bjk,bkl->bil", B_k, Vxx, B_k)
+            Qux = cux_fn(x_k, u_k) + jnp.einsum(
+                "bji,bjk,bkl->bil", B_k, Vxx, A_k)
+            Quu_reg = Quu + mus[:, None, None] * eye[None]
+            L = jnp.linalg.cholesky(Quu_reg)
+            ok_k = jnp.all(jnp.isfinite(L.reshape(B, -1)), axis=-1)
+            Quu_inv = jnp.linalg.inv(Quu_reg)
+            k = -jnp.einsum("bij,bj->bi", Quu_inv, Qu)
+            K = -jnp.einsum("bij,bjk->bik", Quu_inv, Qux)
+            Vx2 = (
+                Qx
+                + jnp.einsum("bji,bjk,bk->bi", K, Quu, k)
+                + jnp.einsum("bji,bj->bi", K, Qu)
+                + jnp.einsum("bji,bj->bi", Qux, k)
+            )
+            Vxx2 = (
+                Qxx
+                + jnp.einsum("bji,bjk,bkl->bil", K, Quu, K)
+                + jnp.einsum("bji,bjk->bik", K, Qux)
+                + jnp.einsum("bji,bjk->bik", Qux, K)
+            )
+            Vxx2 = 0.5 * (Vxx2 + jnp.swapaxes(Vxx2, -1, -2))
+            ok_k = ok_k & jnp.all(jnp.isfinite(k), axis=-1) & jnp.all(
+                jnp.isfinite(K.reshape(B, -1)), axis=-1)
+            return (Vx2, Vxx2, ok & ok_k), (k, K)
+
+        (_, _, ok), (ks, Ks) = jax.lax.scan(
+            bstep,
+            (Vx, Vxx, jnp.ones(B, bool)),
+            (jnp.swapaxes(xss[:, :-1], 0, 1), jnp.swapaxes(uss, 0, 1)),
+            reverse=True,
+        )
+        # ks: (H, B, nu) -> (B, H, nu)
+        return jnp.swapaxes(ks, 0, 1), jnp.swapaxes(Ks, 0, 1), ok
+
+    def forward(xss, uss, ks, Ks, alpha):
+        def fstep(x, inp):
+            x_ref, u_ref, k, K = inp
+            u = u_ref + alpha * k + jnp.einsum("bij,bj->bi", K, x - x_ref)
+            x2 = fB(x, u)
+            return x2, (x2, u)
+
+        _, (xs2, us2) = jax.lax.scan(
+            fstep,
+            xss[:, 0],
+            (
+                jnp.swapaxes(xss[:, :-1], 0, 1),
+                jnp.swapaxes(uss, 0, 1),
+                jnp.swapaxes(ks, 0, 1),
+                jnp.swapaxes(Ks, 0, 1),
+            ),
+        )
+        xs2 = jnp.concatenate(
+            [xss[:, :1], jnp.swapaxes(xs2, 0, 1)], axis=1)
+        return xs2, jnp.swapaxes(us2, 0, 1)
+
+    alphas = 1.1 ** (-jnp.arange(line_search_steps, dtype=dtype) ** 2)
+
+    def iteration(carry, _):
+        xss, uss, cost_prev, mus = carry
+        ks, Ks, ok = backward(xss, uss, mus)
+
+        def ls_cond(c):
+            k_i, found, _, _, _ = c
+            return (k_i < line_search_steps) & ~jnp.all(found)
+
+        def ls_body(c):
+            k_i, found, bx, bu, bc = c
+            xs2, us2 = forward(xss, uss, ks, Ks, alphas[k_i])
+            c2 = total_cost(xs2, us2)
+            better = (c2 < cost_prev) & ok & jnp.isfinite(c2) & ~found
+            bx = jnp.where(better[:, None, None], xs2, bx)
+            bu = jnp.where(better[:, None, None], us2, bu)
+            bc = jnp.where(better, c2, bc)
+            return k_i + 1, found | better, bx, bu, bc
+
+        _, found, xs_new, us_new, c_new = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.int32(0), jnp.zeros(B, bool), xss, uss, cost_prev),
+        )
+        mus_new = jnp.where(found, jnp.maximum(mus / 2, 1e-8), mus * 10)
+        return (xs_new, us_new, c_new, mus_new), None
+
+    xss0 = rollout(x0s, us0)
+    c0 = total_cost(xss0, us0)
+    (xss, uss, cs, _), _ = jax.lax.scan(
+        iteration,
+        (xss0, us0, c0, jnp.full(B, mu_init, dtype)),
+        None,
+        length=n_iters,
+    )
+    return ILQRResult(us=uss, xs=xss, cost=cs, n_iters=jnp.array(n_iters))

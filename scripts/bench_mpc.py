@@ -61,14 +61,22 @@ def main():
     if "--no-pls" in sys.argv:
         pls = False
 
-    @jax.jit
-    def sweep(states):
-        return jax.vmap(
-            lambda s: contact_mpc.solve(
-                prob, s, cost, cost_final, n_iters=n_iters,
-                parallel_line_search=pls,
+    if "--batched" in sys.argv:
+        # batch-level iLQR with the early-exit line search
+        @jax.jit
+        def sweep(states):
+            return contact_mpc.solve_batch(
+                prob, states, cost, cost_final, n_iters=n_iters
             ).cost
-        )(states)
+    else:
+        @jax.jit
+        def sweep(states):
+            return jax.vmap(
+                lambda s: contact_mpc.solve(
+                    prob, s, cost, cost_final, n_iters=n_iters,
+                    parallel_line_search=pls,
+                ).cost
+            )(states)
 
     t0 = time.time()
     out = sweep(batched)
