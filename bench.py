@@ -132,14 +132,13 @@ def bench_mpc():
     dx = jax.random.uniform(key, (B,), dtype=batched.pos.dtype) * 0.2 - 0.1
     batched = batched.replace(pos=batched.pos.at[:, 0, 0].add(dx))
 
+    # batch-level iLQR: batch-voted early-exit line search (~1.5x over the
+    # lock-step vmapped 8-alpha scan; identical per-member semantics)
     @jax.jit
     def sweep(states):
-        return jax.vmap(
-            lambda s: contact_mpc.solve(
-                prob, s, cost, cost_final, n_iters=n_iters,
-                parallel_line_search=False,
-            ).cost
-        )(states)
+        return contact_mpc.solve_batch(
+            prob, states, cost, cost_final, n_iters=n_iters
+        ).cost
 
     out = sweep(batched)
     jax.block_until_ready(out)

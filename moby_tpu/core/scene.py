@@ -543,6 +543,12 @@ class SceneBuilder:
             return K_TRIMESH_CONVEX, True
         if ta == TRIMESH and tb == TRIMESH:
             return K_TRIMESH_TRIMESH, False
+        # convex clouds carry compile-time hull triangles, so they meet
+        # meshes through the mesh-mesh kernel
+        if ta == TRIMESH and tb == POLYHEDRON:
+            return K_TRIMESH_TRIMESH, False
+        if ta == POLYHEDRON and tb == TRIMESH:
+            return K_TRIMESH_TRIMESH, True
         return None, False
 
     def compile(self):
@@ -618,6 +624,28 @@ class SceneBuilder:
         vmax = max([1] + [len(g.verts) for g in all_geoms if g.verts is not None])
         geom_verts = np.zeros((ng, vmax, 3), dt)
         geom_nverts = np.zeros(ng, np.int32)
+        for g in all_geoms:
+            if g.gtype == POLYHEDRON and g.faces is None and g.verts is not None:
+                # derive hull triangles for the convex cloud so trimesh-vs-
+                # polyhedron pairs can route through the mesh kernels
+                # (indices mapped back into the original cloud ordering)
+                try:
+                    from .. import native
+
+                    hv, hf = native.convex_hull(
+                        np.asarray(g.verts, np.float64))
+                    if len(hf):
+                        lookup = {
+                            tuple(np.round(v, 12)): k
+                            for k, v in enumerate(
+                                np.asarray(g.verts, np.float64))
+                        }
+                        remap = np.array(
+                            [lookup[tuple(np.round(v, 12))] for v in hv],
+                            np.int32)
+                        g.faces = remap[hf]
+                except Exception:
+                    pass
         fmax = max([1] + [len(g.faces) for g in all_geoms if g.faces is not None])
         geom_faces = np.zeros((ng, fmax, 3), np.int32)
         geom_nfaces = np.zeros(ng, np.int32)

@@ -208,3 +208,27 @@ class TestSimulation:
         final, _ = _rollout(scene, st, 0.01, 150)
         z = np.asarray(final.pos[1:3, 2])   # bodies 1, 2 = m1, m2
         np.testing.assert_allclose(z, [0.4, 1.2], atol=8e-3)
+
+
+class TestTrimeshVsPolyhedron:
+    def test_mesh_rests_on_convex_slab(self):
+        """TRIMESH vs POLYHEDRON pairs route through the mesh-mesh kernel
+        (the convex cloud gets compile-time hull triangles)."""
+        v, f = cube_mesh(0.3)
+        J, com, _ = tm.mesh_inertia(1.0, v, f)
+        slab = np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+             for sz in (-0.2, 0.2)])
+        b = sc.SceneBuilder()
+        b.set_gravity([0, 0, -9.81])
+        b.add_body("slab", enabled=False)
+        b.add_geom("slab", sc.POLYHEDRON, [0.0], verts=slab)
+        b.add_body("m", mass=1.0, inertia=J, pos=np.array([0, 0, 0.52]))
+        b.add_geom("m", sc.TRIMESH, [0.0], verts=v, faces=f)
+        b.set_contact_params("slab", "m",
+                             sc.ContactParams(epsilon=0.0, mu_coulomb=0.5))
+        scene, st = b.compile()
+        assert scene.n_pairs == 1
+        final, _ = _rollout(scene, st, 0.01, 100)
+        z = float(final.pos[1, 2])
+        assert abs(z - 0.5) < 8e-3, f"mesh height {z}"
