@@ -365,7 +365,37 @@ def resolve_impacts(
     minv = _min_constraint_vel(Cn_v1, act, L_v1, act_lim)
 
     # Poisson restitution: scale cn and l segments of the stacked z
-    # (apply_restitution(q, z), src/ImpactConstraintHandler.cpp:470-500)
+    # (apply_restitution(q, z), src/ImpactConstraintHandler.cpp:470-500).
+    # When every restitution coefficient is zero (compile-time static) the
+    # scaled impulses vanish, `changed` is always False and dv == dv1 —
+    # skip the whole second assembly + gated solve (a large per-step saving
+    # for the eps=0 MPC scenes).
+    import numpy as _np
+
+    eps_all_zero = (
+        (K == 0 or float(_np.max(_np.asarray(scene.slot_eps))) == 0.0)
+        and (scene.n_limits == 0
+             or float(_np.max(_np.asarray(scene.lim_eps))) == 0.0)
+    )
+    if eps_all_zero:
+        dv = dv1
+        z_f = z
+        cn_total_parts = (cn1, None, None)
+        if scene.bilaterals:
+            from . import bilateral as bil
+
+            Jb, _ = bil.constraint_rows(scene, st, pt)
+            Minv_raw = gc_inv_inertia(scene, st, st.quat)
+            v_pre = gc_velocity(scene, st)
+            dv = dv + bil.velocity_correction(Minv_raw, Jb, v_pre)
+        dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
+        z_out = jnp.where(any_impact, z_f, zlast)
+        za_out = jnp.where(any_impact, act, zlast_active)
+        cn_total = jnp.where(any_impact, cn1, jnp.zeros(K, dtype))
+        pivots = st1.pivots.astype(jnp.int32)
+        fallbacks = st1.fallback.astype(jnp.int32)
+        return ImpactResult(dv, z_out, za_out, cn_total, pivots, fallbacks)
+
     zr = z.at[:K].multiply(scene.slot_eps)
     if scene.n_limits:
         zr = zr.at[5 * K : 5 * K + scene.n_limits].multiply(scene.lim_eps)
