@@ -242,6 +242,14 @@ def add_model(builder: sc.SceneBuilder, model_el, base_dir: str,
             )
         )
 
+    # SDF semantics: a non-static model with no world weld floats freely
+    # (the reference sets the base link's fixed/floating accordingly,
+    # src/SDFReader.cpp read_model); an explicit `floating` arg or a
+    # <static>true</static> tag overrides
+    static_el = model_el.findtext("static")
+    is_static = (static_el or "false").strip().lower() in ("1", "true")
+    if not floating and not is_static and not world_welds:
+        floating = True
     build_ab_from_world(builder, mname, links, joints, floating, link_order)
     surface_data = {
         f"{mname}/{ln}": links[ln]["surface"]

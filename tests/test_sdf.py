@@ -37,6 +37,9 @@ UNIVERSAL_SDF = """<sdf version="1.5"><model name="upend">
     <axis><xyz>1 0 0</xyz></axis>
     <axis2><xyz>0 1 0</xyz></axis2>
   </joint>
+  <joint name="anchor" type="fixed">
+    <parent>world</parent><child>base</child>
+  </joint>
 </model></sdf>"""
 
 
@@ -119,3 +122,63 @@ class TestSurfaceParams:
         p.write_text(sdf)
         scene, st, opts = sdfio.load(str(p))
         assert scene is not None
+
+
+class TestFloatingBase:
+    def test_nonstatic_model_falls(self, tmp_path):
+        """SDF: a non-static model with no world joint is free-floating and
+        falls under gravity (reference SDFReader model base handling)."""
+        sdf = """<sdf version="1.5"><model name="ball">
+  <link name="l">
+    <pose>0 0 2 0 0 0</pose>
+    <inertial><mass>1.0</mass>
+      <inertia><ixx>0.1</ixx><iyy>0.1</iyy><izz>0.1</izz></inertia>
+    </inertial>
+    <collision name="c"><geometry><sphere><radius>0.3</radius></sphere></geometry></collision>
+  </link>
+</model></sdf>"""
+        p = tmp_path / "ball.sdf"
+        p.write_text(sdf)
+        scene, st, opts = sdfio.load(str(p))
+
+        @jax.jit
+        def roll(s):
+            def f(s, _):
+                return stepper.step(scene, s, 0.01), None
+            return jax.lax.scan(f, s, None, length=30)[0]
+
+        fin = roll(st)
+        # base link height came down from 2.0
+        from moby_tpu.sim import kinematics
+        pt = kinematics.compute(scene, fin)
+        import numpy as np
+        z = float(np.asarray(pt.pos)[-1, 2])
+        assert z < 1.99, f"model did not fall: z={z}"
+
+    def test_static_model_stays(self, tmp_path):
+        sdf = """<sdf version="1.5"><model name="wall">
+  <static>true</static>
+  <link name="l">
+    <pose>0 0 2 0 0 0</pose>
+    <inertial><mass>1.0</mass>
+      <inertia><ixx>0.1</ixx><iyy>0.1</iyy><izz>0.1</izz></inertia>
+    </inertial>
+    <collision name="c"><geometry><sphere><radius>0.3</radius></sphere></geometry></collision>
+  </link>
+</model></sdf>"""
+        p = tmp_path / "wall.sdf"
+        p.write_text(sdf)
+        scene, st, opts = sdfio.load(str(p))
+
+        @jax.jit
+        def roll(s):
+            def f(s, _):
+                return stepper.step(scene, s, 0.01), None
+            return jax.lax.scan(f, s, None, length=10)[0]
+
+        fin = roll(st)
+        from moby_tpu.sim import kinematics
+        pt = kinematics.compute(scene, fin)
+        import numpy as np
+        z = float(np.asarray(pt.pos)[-1, 2])
+        assert abs(z - 2.0) < 1e-9
