@@ -17,6 +17,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ILQRResult(NamedTuple):
@@ -66,8 +67,10 @@ def ilqr(
     nx = x0.shape[0]
     dtype = x0.dtype
 
-    fx_fn = jax.jacrev(f, argnums=0)
-    fu_fn = jax.jacrev(f, argnums=1)
+    # one jacrev over both args: a single forward trace and a single
+    # nx-wide pullback sweep yields A and B together (two separate jacrev
+    # calls each re-run the contact-step forward pass and its own sweep)
+    fxu_fn = jax.jacrev(f, argnums=(0, 1))
     cx_fn = jax.grad(cost, argnums=0)
     cu_fn = jax.grad(cost, argnums=1)
     cxx_fn = jax.hessian(cost, argnums=0)
@@ -84,10 +87,9 @@ def ilqr(
             # Jacobians are computed inside the scan step (never materialized
             # as (H, nx, nx) stacks — the VMEM blow-up that made vmapped iLQR
             # regress at large B)
-            Vx, Vxx, ok = carry
+            Vx, Vxx, ok, dv1, dv2 = carry
             x_k, u_k = inp
-            A_k = fx_fn(x_k, u_k)
-            B_k = fu_fn(x_k, u_k)
+            A_k, B_k = fxu_fn(x_k, u_k)
             Qx = cx_fn(x_k, u_k) + A_k.T @ Vx
             Qu = cu_fn(x_k, u_k) + B_k.T @ Vx
             Qxx = cxx_fn(x_k, u_k) + A_k.T @ Vxx @ A_k
@@ -105,15 +107,20 @@ def ilqr(
             Vxx2 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
             Vxx2 = 0.5 * (Vxx2 + Vxx2.T)
             ok_k = ok_k & jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
-            return (Vx2, Vxx2, ok & ok_k), (k, K)
+            # expected cost change at alpha=1 (iLQG model decrease), used by
+            # `iteration` to detect convergence — same rule as ilqr_batched
+            dv1_k = k @ Qu
+            dv2_k = k @ Quu @ k
+            return (Vx2, Vxx2, ok & ok_k, dv1 + dv1_k, dv2 + dv2_k), (k, K)
 
-        (_, _, ok), (ks, Ks) = jax.lax.scan(
+        (_, _, ok, dv1, dv2), (ks, Ks) = jax.lax.scan(
             bstep,
-            (Vx, Vxx, jnp.array(True)),
+            (Vx, Vxx, jnp.array(True), jnp.zeros((), dtype), jnp.zeros((), dtype)),
             (xs[:-1], us),
             reverse=True,
         )
-        return ks, Ks, ok
+        expected = -(dv1 + 0.5 * dv2)
+        return ks, Ks, ok, expected
 
     def forward(xs, us, ks, Ks, alpha):
         def fstep(x, inp):
@@ -126,9 +133,18 @@ def ilqr(
         xs2 = jnp.concatenate([xs[0][None], xs2], axis=0)
         return xs2, us2
 
+    conv_tol = float(np.sqrt(np.finfo(np.dtype(dtype)).eps))
+
     def iteration(carry, _):
         xs, us, cost_prev, mu = carry
-        ks, Ks, ok = backward(xs, us, mu)
+        ks, Ks, ok, expected = backward(xs, us, mu)
+        # converged: the model-predicted decrease at alpha=1 is at rounding
+        # scale — keep the trajectory, count the iteration as accepted
+        # (identical rule to ilqr_batched, where it stops converged members
+        # from forcing the batch vote through every alpha)
+        converged = ok & (expected >= 0) & (
+            expected <= conv_tol * (1.0 + jnp.abs(cost_prev))
+        )
 
         # evaluate every line-search step size in parallel (a batched rollout
         # over the alpha axis) instead of sequentially: the forward rollout is
@@ -146,13 +162,14 @@ def ilqr(
             )(xs_all, us_all)
             # a failed backward pass (non-PD Quu at the current mu) rejects
             # the whole update: mu escalates below and the iteration retries
-            better = (c_all < cost_prev) & ok & jnp.isfinite(c_all)
+            better = (c_all < cost_prev) & ok & jnp.isfinite(c_all) & ~converged
             first = jnp.argmax(better)  # first improving alpha (largest step)
-            improved = jnp.any(better)
-            sel = jnp.where(improved, first, 0)
-            c_new = jnp.where(improved, c_all[sel], cost_prev)
-            xs_new = jnp.where(improved, xs_all[sel], xs)
-            us_new = jnp.where(improved, us_all[sel], us)
+            has_alpha = jnp.any(better)
+            sel = jnp.where(has_alpha, first, 0)
+            c_new = jnp.where(has_alpha, c_all[sel], cost_prev)
+            xs_new = jnp.where(has_alpha, xs_all[sel], xs)
+            us_new = jnp.where(has_alpha, us_all[sel], us)
+            improved = has_alpha | converged
         else:
             def try_alpha(carry2, alpha):
                 best_cost, best_xs, best_us, found = carry2
@@ -167,7 +184,7 @@ def ilqr(
                 ), None
 
             (c_new, xs_new, us_new, improved), _ = jax.lax.scan(
-                try_alpha, (cost_prev, xs, us, jnp.array(False)), alphas
+                try_alpha, (cost_prev, xs, us, converged), alphas
             )
         mu_new = jnp.where(improved, jnp.maximum(mu / 2, 1e-8), mu * 10)
         return (xs_new, us_new, c_new, mu_new), c_new
@@ -216,8 +233,7 @@ def ilqr_batched(
     costB = jax.vmap(cost)
     cost_finalB = jax.vmap(cost_final)
 
-    fx_fn = jax.vmap(jax.jacrev(f, argnums=0))
-    fu_fn = jax.vmap(jax.jacrev(f, argnums=1))
+    fxu_fn = jax.vmap(jax.jacrev(f, argnums=(0, 1)))
     cx_fn = jax.vmap(jax.grad(cost, argnums=0))
     cu_fn = jax.vmap(jax.grad(cost, argnums=1))
     cxx_fn = jax.vmap(jax.hessian(cost, argnums=0))
@@ -246,10 +262,9 @@ def ilqr_batched(
         eye = jnp.eye(nu, dtype=dtype)
 
         def bstep(carry, inp):
-            Vx, Vxx, ok = carry
+            Vx, Vxx, ok, dv1, dv2 = carry
             x_k, u_k = inp          # (B, nx), (B, nu)
-            A_k = fx_fn(x_k, u_k)
-            B_k = fu_fn(x_k, u_k)
+            A_k, B_k = fxu_fn(x_k, u_k)
             Qx = cx_fn(x_k, u_k) + jnp.einsum("bij,bi->bj", A_k, Vx)
             Qu = cu_fn(x_k, u_k) + jnp.einsum("bij,bi->bj", B_k, Vx)
             Qxx = cxx_fn(x_k, u_k) + jnp.einsum(
@@ -279,16 +294,22 @@ def ilqr_batched(
             Vxx2 = 0.5 * (Vxx2 + jnp.swapaxes(Vxx2, -1, -2))
             ok_k = ok_k & jnp.all(jnp.isfinite(k), axis=-1) & jnp.all(
                 jnp.isfinite(K.reshape(B, -1)), axis=-1)
-            return (Vx2, Vxx2, ok & ok_k), (k, K)
+            # expected cost change at alpha=1: sum_k k.Qu + 1/2 k.Quu.k
+            # (the standard iLQG model decrease — used to detect converged
+            # members so they don't drive the batch line-search vote)
+            dv1_k = jnp.einsum("bi,bi->b", k, Qu)
+            dv2_k = jnp.einsum("bi,bij,bj->b", k, Quu, k)
+            return (Vx2, Vxx2, ok & ok_k, dv1 + dv1_k, dv2 + dv2_k), (k, K)
 
-        (_, _, ok), (ks, Ks) = jax.lax.scan(
+        (_, _, ok, dv1, dv2), (ks, Ks) = jax.lax.scan(
             bstep,
-            (Vx, Vxx, jnp.ones(B, bool)),
+            (Vx, Vxx, jnp.ones(B, bool), jnp.zeros(B, dtype), jnp.zeros(B, dtype)),
             (jnp.swapaxes(xss[:, :-1], 0, 1), jnp.swapaxes(uss, 0, 1)),
             reverse=True,
         )
+        expected = -(dv1 + 0.5 * dv2)  # positive when alpha=1 should improve
         # ks: (H, B, nu) -> (B, H, nu)
-        return jnp.swapaxes(ks, 0, 1), jnp.swapaxes(Ks, 0, 1), ok
+        return jnp.swapaxes(ks, 0, 1), jnp.swapaxes(Ks, 0, 1), ok, expected
 
     def forward(xss, uss, ks, Ks, alpha):
         def fstep(x, inp):
@@ -313,9 +334,19 @@ def ilqr_batched(
 
     alphas = 1.1 ** (-jnp.arange(line_search_steps, dtype=dtype) ** 2)
 
+    conv_tol = float(np.sqrt(np.finfo(np.dtype(dtype)).eps))
+
     def iteration(carry, _):
         xss, uss, cost_prev, mus = carry
-        ks, Ks, ok = backward(xss, uss, mus)
+        ks, Ks, ok, expected = backward(xss, uss, mus)
+
+        # a member whose model-predicted decrease at alpha=1 is at rounding
+        # scale is converged: no alpha can STRICTLY improve its f32 cost, so
+        # without this it would force the batch vote through every alpha
+        # (the whole-batch lock-step worst case) while changing nothing
+        converged = ok & (expected >= 0) & (
+            expected <= conv_tol * (1.0 + jnp.abs(cost_prev))
+        )
 
         def ls_cond(c):
             k_i, found, _, _, _ = c
@@ -333,7 +364,7 @@ def ilqr_batched(
 
         _, found, xs_new, us_new, c_new = jax.lax.while_loop(
             ls_cond, ls_body,
-            (jnp.int32(0), jnp.zeros(B, bool), xss, uss, cost_prev),
+            (jnp.int32(0), converged, xss, uss, cost_prev),
         )
         mus_new = jnp.where(found, jnp.maximum(mus / 2, 1e-8), mus * 10)
         return (xs_new, us_new, c_new, mus_new), None

@@ -39,14 +39,38 @@ import numpy as np
 from . import lcp as lcp_mod
 
 
-def _ift_bwd(M, q, mask, z, zbar):
+def _prep_bwd(M, z, mask):
+    """Residuals for the IFT pullback: the active set and the explicit
+    inverse of the masked transpose system M_AA^T.
+
+    The pullback is linear in zbar but `jacrev` evaluates it once per output
+    basis vector (nx of them per iLQR backward step); an iterative masked
+    solve per cotangent would repeat the same elimination nx times. Inverting
+    M_AA^T ONCE here (fused Gauss–Jordan, ~2x one solve) turns every pullback
+    into a matvec. Runs only under linearization — plain rollouts never pay.
+    """
     eps = jnp.asarray(1e-10, M.dtype)
     active = (z > eps) & mask
+    n = M.shape[0]
+    dtype = M.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    outer = active[:, None] & active[None, :]
+    A_T = jnp.where(outer, M.T, 0.0) + jnp.diag(
+        jnp.where(active, 0.0, 1.0).astype(dtype)
+    )
+    if lcp_mod._use_gj(dtype):
+        Ainv_T, ok = lcp_mod.gj_invert_masked(A_T, active)
+    else:
+        Ainv_T = jnp.linalg.inv(A_T)
+        ok = jnp.all(jnp.isfinite(Ainv_T))
+    Ainv_T = jnp.where(ok, Ainv_T, jnp.zeros_like(Ainv_T))
+    return active, Ainv_T
 
-    # gbar_A = -M_AA^{-T} zbar_A  (masked solve on the transpose system,
-    # routed through the fused Gauss–Jordan on f32 like the forward pivots)
-    gbar, _ok = lcp_mod.solve_principal(M.T, -zbar, active)
-    gbar = jnp.where(jnp.all(jnp.isfinite(gbar)), gbar, jnp.zeros_like(gbar))
+
+def _ift_bwd(active, Ainv_T, z, zbar):
+    # gbar_A = -M_AA^{-T} zbar_A  (precomputed inverse; see _prep_bwd)
+    gbar = -(Ainv_T @ jnp.where(active, zbar, jnp.zeros_like(zbar)))
+    gbar = jnp.where(active, gbar, jnp.zeros_like(gbar))
 
     Mbar = gbar[:, None] * z[None, :]
     qbar = gbar
@@ -61,12 +85,13 @@ def solve_lcp_diff(M, q, mask, z0):
 
 def _fwd(M, q, mask, z0):
     z = solve_lcp_diff(M, q, mask, z0)
-    return z, (M, q, mask, z)
+    active, Ainv_T = _prep_bwd(M, z, mask)
+    return z, (active, Ainv_T, z)
 
 
 def _bwd(res, zbar):
-    M, q, mask, z = res
-    Mbar, qbar = _ift_bwd(M, q, mask, z, zbar)
+    active, Ainv_T, z = res
+    Mbar, qbar = _ift_bwd(active, Ainv_T, z, zbar)
     return Mbar, qbar, None, None
 
 
@@ -106,12 +131,13 @@ def _mpc_xla(M, q, mask, z0, skip):
 
 def _fwd_mpc(M, q, mask, z0, skip):
     z = solve_lcp_diff_mpc(M, q, mask, z0, skip)
-    return z, (M, q, mask, z)
+    active, Ainv_T = _prep_bwd(M, z, mask)
+    return z, (active, Ainv_T, z)
 
 
 def _bwd_mpc(res, zbar):
-    M, q, mask, z = res
-    Mbar, qbar = _ift_bwd(M, q, mask, z, zbar)
+    active, Ainv_T, z = res
+    Mbar, qbar = _ift_bwd(active, Ainv_T, z, zbar)
     return Mbar, qbar, None, None, None
 
 

@@ -122,6 +122,48 @@ def gj_solve_masked(A, b, active):
     return b, ok
 
 
+def gj_invert_masked(A, active):
+    """Invert the `active`-masked system (identity rows/cols on inactive
+    slots) by the same unpivoted Gauss–Jordan as `gj_solve_masked`, carrying
+    the identity through the row operations.
+
+    Costs ~2x one `gj_solve_masked` and stays a fixed-trip `fori_loop` of
+    fused rank-1 updates (no LU `While` lowering). Use when the same
+    principal inverse is needed against many right-hand sides — e.g. the
+    difflcp IFT pullback, where `jacrev`'s output-basis vmap would otherwise
+    repeat the elimination once per basis vector. Returns (Ainv, ok).
+    """
+    n = A.shape[-1]
+    dtype = A.dtype
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny * 1e8, dtype)
+    B0 = jnp.broadcast_to(jnp.eye(n, dtype=dtype), A.shape)
+
+    def step(k, carry):
+        A, B, minpiv = carry
+        prow = A[..., k, :]
+        brow = B[..., k, :]
+        piv = prow[..., k]
+        apiv = jnp.abs(piv)
+        minpiv = jnp.minimum(minpiv, apiv)
+        inv = jnp.where(apiv > tiny, 1.0 / jnp.where(apiv > tiny, piv, 1.0), 0.0)
+        prow = prow * inv[..., None]
+        brow = brow * inv[..., None]
+        col = A[..., :, k]
+        factor = col * (1.0 - jax.nn.one_hot(k, n, dtype=dtype))
+        A = A - factor[..., None] * prow[..., None, :]
+        B = B - factor[..., None] * brow[..., None, :]
+        A = A.at[..., k, :].set(prow)
+        B = B.at[..., k, :].set(brow)
+        return A, B, minpiv
+
+    minpiv0 = jnp.full(A.shape[:-2], jnp.inf, dtype)
+    _, B, minpiv = jax.lax.fori_loop(0, n, step, (A, B0, minpiv0))
+    ok = (minpiv > tiny) & jnp.all(
+        jnp.isfinite(B), axis=(-2, -1)
+    )
+    return B, ok
+
+
 _GJ_OVERRIDE = None  # set True/False to force the sub-solve route (benchmarks)
 
 

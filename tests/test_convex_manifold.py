@@ -140,10 +140,26 @@ class TestExactEPA:
         assert np.allclose(np.abs(nrm[:, 2]), 1.0, atol=1e-6), nrm
 
     def test_octahedron_stack_rests(self):
+        # Two octahedra stacked face-down (a tip-balanced stack is a chaotic
+        # knife edge — which way it topples is numerics-dependent, so it is
+        # the wrong oracle). Face-down, the polyhedron-plane and
+        # polyhedron-polyhedron face manifolds must hold both at the
+        # inradius heights with no drift.
         octa = np.array(
             [[0.5, 0, 0], [-0.5, 0, 0], [0, 0.5, 0], [0, -0.5, 0],
              [0, 0, 0.5], [0, 0, -0.5]])
         from moby_tpu.math import quaternion as quat
+
+        # rotation taking the (1,1,1)/sqrt(3) face normal to -z: both the
+        # bottom face (flat on the ground / on o1's top face) and the
+        # opposite (-1,-1,-1) face (which maps to +z) become horizontal
+        n = np.array([1.0, 1.0, 1.0]) / np.sqrt(3.0)
+        t = np.array([0.0, 0.0, -1.0])
+        axis = np.cross(n, t)
+        axis /= np.linalg.norm(axis)
+        ang = np.arccos(np.dot(n, t))
+        q_fd = np.concatenate([axis * np.sin(ang / 2), [np.cos(ang / 2)]])
+        r_in = 0.5 / np.sqrt(3.0)  # inradius: face-plane distance
 
         b = sc.SceneBuilder()
         b.set_gravity([0, 0, -9.81])
@@ -151,10 +167,10 @@ class TestExactEPA:
         pq = np.asarray(quat.from_rpy(jnp.array([1.5707963267949, 0, 0])))
         b.add_geom("ground", sc.PLANE, [0.0], quat=pq)
         b.add_body("o1", mass=1.0, inertia=np.eye(3) * 0.05,
-                   pos=np.array([0, 0, 0.5]))
+                   pos=np.array([0, 0, r_in + 0.002]), quat=q_fd)
         b.add_geom("o1", sc.POLYHEDRON, [0.0], verts=octa)
         b.add_body("o2", mass=1.0, inertia=np.eye(3) * 0.05,
-                   pos=np.array([0, 0, 1.52]))
+                   pos=np.array([0, 0, 3 * r_in + 0.006]), quat=q_fd)
         b.add_geom("o2", sc.POLYHEDRON, [0.0], verts=octa)
         cp = sc.ContactParams(epsilon=0.0, mu_coulomb=0.5)
         b.set_contact_params("ground", "o1", cp)
@@ -168,11 +184,11 @@ class TestExactEPA:
             return jax.lax.scan(f, s, None, length=250)[0]
 
         fin = roll(st)
-        # octahedra on their tips tip over and settle on faces (inradius
-        # 0.5/sqrt(3) = 0.289) — assert a stable, still-stacked rest rather
-        # than the unstable vertex balance
         z = np.asarray(fin.pos[1:, 2])
-        assert z[0] > 0.25, f"o1 sank: {z}"
-        assert z[1] - z[0] > 0.3, f"stack collapsed: {z}"
-        assert float(jnp.max(jnp.abs(fin.vel[1:]))) < 0.5, "still tumbling"
+        assert abs(z[0] - r_in) < 0.02, f"o1 off rest height: {z}"
+        assert abs(z[1] - 3 * r_in) < 0.04, f"o2 off stack height: {z}"
+        assert float(jnp.max(jnp.abs(fin.vel[1:]))) < 0.1, "still moving"
+        # lateral drift bounded (friction holds the face contact)
+        xy = np.asarray(fin.pos[1:, :2])
+        assert np.all(np.abs(xy) < 0.1), f"stack slid: {xy}"
         assert np.all(np.isfinite(np.asarray(fin.quat)))
