@@ -140,6 +140,11 @@ class Problem(NamedTuple):
     Cs_v: jnp.ndarray
     Ct_v: jnp.ndarray
     L_v: jnp.ndarray
+    # stacked forms (the hot-path representation; the named blocks above are
+    # views into these for the nqp/noslip/stabilization consumers)
+    Jall: jnp.ndarray = None  # (3K+NL, ngc) rows [Jn; Js; Jt; Jl]
+    A: jnp.ndarray = None     # (3K+NL, 3K+NL) Jall Minv Jall^T
+    bv: jnp.ndarray = None    # (3K+NL,) Jall v
 
 
 def _contact_rows(scene, pt: PoseTable, con: Contacts, act, d_vec):
@@ -187,13 +192,34 @@ def gc_inv_inertia(scene: sc.Scene, st, quat_b):
 
 
 def assemble_problem(scene, st, pt: PoseTable, con: Contacts, act, act_lim) -> Problem:
+    """One stacked Jacobian Jall = [Jn; Js; Jt; Jl], ONE Delassus
+    A = Jall Minv Jall^T and one bv = Jall v — instead of 3 row builds,
+    4 J@Minv products and 10 cross-block matmuls. The per-op work here is
+    tiny (launch-latency dominates a vmapped contact step), so collapsing
+    ~25 kernels into ~5 is the win; the named blocks are slices of A."""
     dtype = st.pos.dtype
-    Jn = _contact_rows(scene, pt, con, act, con.normal)
-    Js = _contact_rows(scene, pt, con, act, con.tan1)
-    Jt = _contact_rows(scene, pt, con, act, con.tan2)
-
+    K = scene.n_contacts
     NL = scene.n_limits
     ngc = scene.ngc
+
+    # contact rows for all 3 directions in one einsum batch
+    if K:
+        s1 = jnp.concatenate([scene.slot_s1] * 3)
+        s2 = jnp.concatenate([scene.slot_s2] * 3)
+        D = jnp.concatenate([con.normal, con.tan1, con.tan2], axis=0)
+        act3 = jnp.concatenate([act] * 3)
+        pts = jnp.concatenate([con.point] * 3, axis=0)
+        dm = jnp.where(act3[:, None], D, 0.0)
+        r1 = pts - pt.pos[s1]
+        r2 = pts - pt.pos[s2]
+        w1 = jnp.concatenate([dm, jnp.cross(r1, dm)], axis=-1)  # (3K, 6)
+        w2 = jnp.concatenate([dm, jnp.cross(r2, dm)], axis=-1)
+        J3 = jnp.einsum("ki,kij->kj", w1, pt.W[s1]) - jnp.einsum(
+            "ki,kij->kj", w2, pt.W[s2]
+        )
+    else:
+        J3 = jnp.zeros((0, ngc), dtype)
+
     if NL:
         sign = jnp.where(scene.lim_upper, -1.0, 1.0).astype(dtype)
         sign = jnp.where(act_lim, sign, 0.0)
@@ -202,6 +228,8 @@ def assemble_problem(scene, st, pt: PoseTable, con: Contacts, act, act_lim) -> P
         ].set(sign)
     else:
         Jl = jnp.zeros((0, ngc), dtype)
+
+    Jall = jnp.concatenate([J3, Jl], axis=0)  # (3K+NL, ngc)
 
     Minv = gc_inv_inertia(scene, st, st.quat)
     if scene.bilaterals:
@@ -212,22 +240,111 @@ def assemble_problem(scene, st, pt: PoseTable, con: Contacts, act, act_lim) -> P
         Minv = bil.project_inv_inertia(Minv, Jb)
     v = gc_velocity(scene, st)
 
-    Wn = Jn @ Minv
-    Ws = Js @ Minv
-    Wt = Jt @ Minv
-    WlM = Jl @ Minv
+    A = (Jall @ Minv) @ Jall.T
+    bv = Jall @ v
 
     return Problem(
-        Jn=Jn, Js=Js, Jt=Jt, Jl=Jl, Minv=Minv,
-        Ann=Wn @ Jn.T, Ans=Wn @ Js.T, Ant=Wn @ Jt.T, Anl=Wn @ Jl.T,
-        Ass=Ws @ Js.T, Ast=Ws @ Jt.T, Asl=Ws @ Jl.T,
-        Att=Wt @ Jt.T, Atl=Wt @ Jl.T,
-        All=WlM @ Jl.T,
-        Cn_v=Jn @ v,
-        Cs_v=Js @ v,
-        Ct_v=Jt @ v,
-        L_v=Jl @ v,
+        Jn=Jall[:K], Js=Jall[K : 2 * K], Jt=Jall[2 * K : 3 * K],
+        Jl=Jall[3 * K :], Minv=Minv,
+        Ann=A[:K, :K], Ans=A[:K, K : 2 * K], Ant=A[:K, 2 * K : 3 * K],
+        Anl=A[:K, 3 * K :],
+        Ass=A[K : 2 * K, K : 2 * K], Ast=A[K : 2 * K, 2 * K : 3 * K],
+        Asl=A[K : 2 * K, 3 * K :],
+        Att=A[2 * K : 3 * K, 2 * K : 3 * K], Atl=A[2 * K : 3 * K, 3 * K :],
+        All=A[3 * K :, 3 * K :],
+        Cn_v=bv[:K],
+        Cs_v=bv[K : 2 * K],
+        Ct_v=bv[2 * K : 3 * K],
+        L_v=bv[3 * K :],
+        Jall=Jall, A=A, bv=bv,
     )
+
+
+import numpy as _np
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _qp_tables_cached(key):
+    (K, NL, NF, fr, fr_cos, fr_sin, mu_c, mu_v, compliance, dtname) = key
+    fr = _np.array(fr, _np.int64)
+    fr_cos = _np.array(fr_cos)
+    fr_sin = _np.array(fr_sin)
+    mu_c = _np.array(mu_c)
+    mu_v = _np.array(mu_v)
+    compliance = _np.array(compliance)
+    dt = _np.dtype(dtname)
+    NV = 5 * K + NL
+    NI = K + NL + NF
+    n = NV + NI
+    nJ = 3 * K + NL
+
+    # variable -> (row of A, sign): x = [cn, cs, ct, ncs, nct, l]
+    vm = _np.concatenate([
+        _np.arange(K), K + _np.arange(K), 2 * K + _np.arange(K),
+        K + _np.arange(K), 2 * K + _np.arange(K), 3 * K + _np.arange(NL),
+    ]).astype(_np.int64)
+    vs = _np.concatenate([
+        _np.ones(K), _np.ones(K), _np.ones(K),
+        -_np.ones(K), -_np.ones(K), _np.ones(NL),
+    ])
+    # inequality row -> (row of A, sign); friction rows have no A part
+    im = _np.concatenate([
+        _np.arange(K), 3 * K + _np.arange(NL), _np.zeros(NF, _np.int64)])
+    is_ = _np.concatenate([_np.ones(K), _np.ones(NL), _np.zeros(NF)])
+    # constant friction-cone rows (slot_mu_c / fan cos/sin are scene statics)
+    Mf = _np.zeros((NI, NV))
+    r0 = K + NL
+    for j in range(NF):
+        Mf[r0 + j, fr[j]] = mu_c[fr[j]]
+        Mf[r0 + j, K + fr[j]] = -fr_cos[j]
+        Mf[r0 + j, 3 * K + fr[j]] = -fr_cos[j]
+        Mf[r0 + j, 2 * K + fr[j]] = -fr_sin[j]
+        Mf[r0 + j, 4 * K + fr[j]] = -fr_sin[j]
+
+    rm = _np.concatenate([vm, im])        # (n,) A-row per MM row
+    rs = _np.concatenate([vs, is_])
+    cm = _np.concatenate([vm, im])        # (n,) A-col per MM col
+    cs_sign = _np.concatenate([vs, -is_])  # upper-right block is -Mineq^T
+
+    I = _np.broadcast_to(rm[:, None], (n, n)).copy()
+    J = _np.broadcast_to(cm[None, :], (n, n)).copy()
+    S = rs[:, None] * cs_sign[None, :]
+    # zero the (ineq, ineq) block and fix the lower-left sign (+Mineq)
+    S[NV:, NV:] = 0.0
+    S[NV:, :NV] = is_[:, None] * vs[None, :]
+    C = _np.zeros((n, n))
+    C[_np.arange(K), _np.arange(K)] += compliance        # H compliance diag
+    C[NV:, :NV] += Mf                                    # +Mineq friction
+    C[:NV, NV:] += -Mf.T                                 # -Mineq^T
+
+    # qq = qs * bv[qm] + qt * tvel[qf]
+    qm = _np.concatenate([vm, im]).astype(_np.int64)
+    qs = _np.concatenate([vs, is_])
+    qf = _np.zeros(n, _np.int64)
+    qt = _np.zeros(n)
+    qf[NV + r0 : NV + r0 + NF] = fr
+    qt[NV + r0 : NV + r0 + NF] = mu_v[fr]
+
+    return (
+        _np.ascontiguousarray(I), _np.ascontiguousarray(J),
+        S.astype(dt), C.astype(dt),
+        qm, qs.astype(dt), qf, qt.astype(dt),
+    )
+
+
+def _qp_tables(scene: sc.Scene, dtype):
+    key = (
+        scene.n_contacts, scene.n_limits, scene.n_friction_rows,
+        tuple(_np.asarray(scene.fr_con).tolist()),
+        tuple(_np.asarray(scene.fr_cos).tolist()),
+        tuple(_np.asarray(scene.fr_sin).tolist()),
+        tuple(_np.asarray(scene.slot_mu_c).tolist()),
+        tuple(_np.asarray(scene.slot_mu_v).tolist()),
+        tuple(_np.asarray(scene.slot_compliance).tolist()),
+        _np.dtype(dtype).name,
+    )
+    return _qp_tables_cached(key)
 
 
 def build_qp_lcp(scene: sc.Scene, p: Problem, act, act_lim):
@@ -236,47 +353,25 @@ def build_qp_lcp(scene: sc.Scene, p: Problem, act, act_lim):
     Variables x = [cn, cs, ct, ncs, nct, l]; inequality rows
     [Cn·v+ >= 0 (K)], [L·v+ >= 0 (NL)], [friction (NF)].
     MM = [[H, -M'], [M, 0]],  qq = [c, Cn_v, L_v, mu_visc·|v_t|].
+
+    Every MM entry is (± an entry of the stacked Delassus A) + a static
+    constant, so the whole stack is ONE gather + FMA against trace-time
+    index/sign/const tables (`_qp_tables`) — the block-concatenate
+    formulation cost ~25 small kernels per step, which dominated the
+    vmapped MPC rollout (launch-bound, not FLOP-bound).
     """
     K = scene.n_contacts
-    NL = scene.n_limits
-    NV = scene.n_vars
-    NI = scene.n_ineq
     dtype = p.Ann.dtype
+    I, J, S, C, qm, qs, qf, qt = _qp_tables(scene, dtype)
 
-    row_n = jnp.concatenate([p.Ann, p.Ans, p.Ant, -p.Ans, -p.Ant, p.Anl], axis=1)
-    row_s = jnp.concatenate([p.Ans.T, p.Ass, p.Ast, -p.Ass, -p.Ast, p.Asl], axis=1)
-    row_t = jnp.concatenate([p.Ant.T, p.Ast.T, p.Att, -p.Ast.T, -p.Att, p.Atl], axis=1)
-    row_l = jnp.concatenate(
-        [p.Anl.T, p.Asl.T, p.Atl.T, -p.Asl.T, -p.Atl.T, p.All], axis=1
-    )
-    H = jnp.concatenate([row_n, row_s, row_t, -row_s, -row_t, row_l], axis=0)
-    H = H + jnp.diag(
-        jnp.concatenate(
-            [scene.slot_compliance, jnp.zeros(4 * K + NL, dtype)]
-        )
-    )
-    c = jnp.concatenate([p.Cn_v, p.Cs_v, p.Ct_v, -p.Cs_v, -p.Ct_v, p.L_v])
+    bv = jnp.concatenate([p.Cn_v, p.Cs_v, p.Ct_v, p.L_v])
+    MM = jnp.asarray(S) * p.A[jnp.asarray(I), jnp.asarray(J)] + jnp.asarray(C)
+    qq = jnp.asarray(qs) * bv[jnp.asarray(qm)]
+    if scene.n_friction_rows:
+        tvel = jnp.sqrt(p.Cs_v ** 2 + p.Ct_v ** 2)
+        qq = qq + jnp.asarray(qt) * tvel[jnp.asarray(qf)]
 
-    NF = scene.n_friction_rows
     fr = scene.fr_con
-    Mf = jnp.zeros((NF, NV), dtype)
-    rows = jnp.arange(NF)
-    Mf = Mf.at[rows, fr].set(scene.slot_mu_c[fr])
-    Mf = Mf.at[rows, K + fr].set(-scene.fr_cos)
-    Mf = Mf.at[rows, 3 * K + fr].set(-scene.fr_cos)
-    Mf = Mf.at[rows, 2 * K + fr].set(-scene.fr_sin)
-    Mf = Mf.at[rows, 4 * K + fr].set(-scene.fr_sin)
-
-    Mineq = jnp.concatenate([row_n, row_l, Mf], axis=0)
-    tvel = jnp.sqrt(p.Cs_v ** 2 + p.Ct_v ** 2)
-    q_low = jnp.concatenate([p.Cn_v, p.L_v, scene.slot_mu_v[fr] * tvel[fr]])
-
-    MM = jnp.zeros((NV + NI, NV + NI), dtype)
-    MM = MM.at[:NV, :NV].set(H)
-    MM = MM.at[:NV, NV:].set(-Mineq.T)
-    MM = MM.at[NV:, :NV].set(Mineq)
-    qq = jnp.concatenate([c, q_low])
-
     var_act = jnp.concatenate([act] * 5 + [act_lim])
     row_act = jnp.concatenate([act, act_lim, act[fr]])
     mask = jnp.concatenate([var_act, row_act])
@@ -290,6 +385,22 @@ def unstack_impulses(scene: sc.Scene, z):
     ct = z[2 * K : 3 * K] - z[4 * K : 5 * K]
     l = z[5 * K : 5 * K + scene.n_limits]
     return cn, cs, ct, l
+
+
+def _impulse_vec(scene: sc.Scene, z):
+    """z (n_lcp,) -> stacked impulse (3K+NL,) = [cn, cs-ncs, ct-nct, l]
+    as one gather-FMA (static index tables)."""
+    K = scene.n_contacts
+    NL = scene.n_limits
+    ga = _np.concatenate([
+        _np.arange(K), K + _np.arange(K), 2 * K + _np.arange(K),
+        5 * K + _np.arange(NL)]).astype(_np.int64)
+    gb = _np.concatenate([
+        _np.zeros(K, _np.int64), 3 * K + _np.arange(K),
+        4 * K + _np.arange(K), _np.zeros(NL, _np.int64)])
+    gc = _np.concatenate([
+        _np.zeros(K), -_np.ones(K), -_np.ones(K), _np.zeros(NL)])
+    return z[ga] + jnp.asarray(gc.astype(_np.dtype(z.dtype))) * z[gb]
 
 
 def impulse_dv(scene, p: Problem, cn, cs, ct, l):
@@ -357,11 +468,13 @@ def resolve_impacts(
     # nothing impacting -> dv is zeroed below anyway; skip the pivot loops
     # (`calc_impacting_unilateral_constraint_forces` early-out)
     z, ok, st1 = call_solver(MM, qq, mask, z0, ~any_impact)
-    cn1, cs1, ct1, l1 = unstack_impulses(scene, z)
-    dv1 = impulse_dv(scene, p, cn1, cs1, ct1, l1)
-
-    Cn_v1 = p.Cn_v + p.Jn @ dv1
-    L_v1 = p.L_v + p.Jl @ dv1
+    cn1 = z[:K]
+    imp1 = _impulse_vec(scene, z)
+    # post-solve constraint velocities via the Delassus operator
+    # (bv + A imp == bv + Jall dv, no ngc round trip)
+    bv1 = p.bv + p.A @ imp1
+    Cn_v1 = bv1[:K]
+    L_v1 = bv1[3 * K :]
     minv = _min_constraint_vel(Cn_v1, act, L_v1, act_lim)
 
     # Poisson restitution: scale cn and l segments of the stacked z
@@ -378,9 +491,8 @@ def resolve_impacts(
              or float(_np.max(_np.asarray(scene.lim_eps))) == 0.0)
     )
     if eps_all_zero:
-        dv = dv1
+        dv = p.Minv @ (p.Jall.T @ imp1)
         z_f = z
-        cn_total_parts = (cn1, None, None)
         if scene.bilaterals:
             from . import bilateral as bil
 
@@ -403,32 +515,36 @@ def resolve_impacts(
     if scene.n_limits:
         changed = changed | jnp.any(zr[5 * K : 5 * K + scene.n_limits] > nz)
 
-    cn2, cs2, ct2, l2 = unstack_impulses(scene, zr)
-    dv2 = impulse_dv(scene, p, cn2, cs2, ct2, l2)
-    Cn_v2 = Cn_v1 + p.Jn @ dv2
-    L_v2 = L_v1 + p.Jl @ dv2
+    cn2 = zr[:K]
+    imp2 = _impulse_vec(scene, zr)
+    bv2 = bv1 + p.A @ imp2
+    Cn_v2 = bv2[:K]
+    L_v2 = bv2[3 * K :]
     minv_plus = _min_constraint_vel(Cn_v2, act, L_v2, act_lim)
 
     need_resolve = changed & (minv_plus < 0.0) & (minv_plus < minv - nz)
 
     # second impact problem from post-restitution velocities
-    v_delta = dv1 + dv2
     p2 = p._replace(
         Cn_v=Cn_v2,
-        Cs_v=p.Cs_v + p.Js @ v_delta,
-        Ct_v=p.Ct_v + p.Jt @ v_delta,
+        Cs_v=bv2[K : 2 * K],
+        Ct_v=bv2[2 * K : 3 * K],
         L_v=L_v2,
     )
     MM2, qq2, _ = build_qp_lcp(scene, p2, act, act_lim)
     # the second impact solve only matters when restitution re-triggers
     # impacts — gate its pivot loops out otherwise (depth saving)
     z3, _, st3 = call_solver(MM2, qq2, mask, z, ~need_resolve)
-    cn3, cs3, ct3, l3 = unstack_impulses(scene, z3)
-    dv3 = impulse_dv(scene, p2, cn3, cs3, ct3, l3)
+    cn3 = z3[:K]
+    imp3 = _impulse_vec(scene, z3)
 
-    dv = jnp.where(
-        need_resolve, dv1 + dv2 + dv3, jnp.where(changed, dv1 + dv2, dv1)
+    zero = jnp.zeros_like(imp1)
+    imp_tot = (
+        imp1
+        + jnp.where(changed, imp2, zero)
+        + jnp.where(need_resolve, imp3, zero)
     )
+    dv = p.Minv @ (p.Jall.T @ imp_tot)
     z_f = jnp.where(need_resolve, z3, z)
 
     if scene.bilaterals:
