@@ -152,6 +152,109 @@ def bench_mpc():
     return B * reps / dt, B
 
 
+def bench_ur10_mpc():
+    """UR10 contact-MPC reach (BASELINE.json configs row 5: '6-DoF
+    articulated reduced-coords dynamics with joint limits, contact-MPC reach
+    task'): the reference arm (example/ur10/ur10/ur10.sdf) with a fist box
+    on wrist_3_link reaching a target AT the floor plane — the optimum
+    presses into the unilateral contact, so every iLQR iteration
+    differentiates through an articulated multi-slot impact LCP with 12
+    joint-limit rows. Returns (solves/s, B)."""
+    import xml.etree.ElementTree as ET
+
+    import jax
+    import jax.numpy as jnp
+
+    from moby_tpu.core import scene as sc
+    from moby_tpu.io import sdfio
+    from moby_tpu.math import quaternion as quat
+    from moby_tpu.mpc import contact_mpc
+    from moby_tpu.sim import kinematics
+    from moby_tpu.dynamics import aba as art_dyn
+
+    sdf_path = "/root/reference/example/ur10/ur10/ur10.sdf"
+    root = ET.parse(sdf_path).getroot()
+    model = root if root.tag == "model" else root.find("model")
+
+    b = sc.SceneBuilder()
+    b.set_gravity([0, 0, -9.81])
+    mname, _, _ = sdfio.add_model(
+        b, model, os.path.dirname(os.path.abspath(sdf_path))
+    )
+    # fist proxy on the wrist (the SDF's DAE collision meshes carry no
+    # vertex data our loader keeps) + floor plane 5 cm under the arm's
+    # initial wrist height
+    b.add_geom(f"{mname}/wrist_3_link", sc.BOX, [0.03, 0.03, 0.03])
+    b.add_body("ground", enabled=False)
+    import jax.numpy as _j
+    pq = np.asarray(quat.from_rpy(_j.array([1.5707963267949, 0, 0])))
+    b.add_geom("ground", sc.PLANE, [0.0], pos=np.array([0, 0, -0.05]),
+               quat=pq)
+    b.set_contact_params(
+        "ground", mname, sc.ContactParams(epsilon=0.0, mu_coulomb=0.5, nk=4)
+    )
+    scene, st = b.compile()
+
+    ee_slot = [l.name for l in scene.arts[0].model.links].index(
+        "wrist_3_link"
+    )
+    nq = scene.nq_art
+
+    def ee_pos_of(q_art):
+        s = st.replace(q_art=q_art)
+        pt = kinematics.compute(scene, s)
+        return pt.pos[ee_slot]
+
+    p0 = np.asarray(jax.jit(ee_pos_of)(st.q_art))
+    # target past the floor-touch depth: the optimum presses the contact
+    target = jnp.asarray(
+        np.array([p0[0] - 0.10, p0[1] + 0.10, -0.03]), st.pos.dtype
+    )
+
+    def cost(x, u):
+        return 1e-6 * jnp.sum(u ** 2) + 0.01 * jnp.sum(x[nq:] ** 2)
+
+    def cost_final(x):
+        ee = ee_pos_of(x[:nq])
+        return 500.0 * jnp.sum((ee - target) ** 2) + jnp.sum(x[nq:] ** 2)
+
+    H = 50
+    B = int(os.environ.get("MOBY_BENCH_UR10_B", "128"))
+    n_iters = 4
+    prob = contact_mpc.MPCProblem(scene=scene, template=st, dt=0.01,
+                                  horizon=H)
+
+    tau_hold = art_dyn.rnea(
+        scene.arts[0].model, st.q_art, jnp.zeros(nq), jnp.zeros(nq),
+        scene.gravity,
+    )
+    us0 = jnp.tile(tau_hold[None, :], (H, 1))
+
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), st
+    )
+    key = jax.random.PRNGKey(1)
+    dq = jax.random.uniform(key, (B, nq), dtype=batched.q_art.dtype) * 0.04
+    batched = batched.replace(q_art=batched.q_art + dq)
+
+    @jax.jit
+    def sweep(states):
+        return contact_mpc.solve_batch(
+            prob, states, cost, cost_final, us0=us0, n_iters=n_iters
+        ).cost
+
+    out = sweep(batched)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = sweep(batched)
+    jax.block_until_ready(out)
+    dt_s = time.time() - t0
+    return B * reps / dt_s, B
+
+
 def main():
     extra = {}
     steps_per_s = None
@@ -173,6 +276,11 @@ def main():
     solves_per_s, mpc_b = bench_mpc()
     extra["mpc_B"] = mpc_b
     extra["mpc_iters"] = 4
+
+    if os.environ.get("MOBY_BENCH_SKIP_UR10") != "1":
+        ur10_sps, ur10_b = bench_ur10_mpc()
+        extra["ur10_contact_mpc_solves_per_s_H50"] = round(ur10_sps, 2)
+        extra["ur10_B"] = ur10_b
     print(json.dumps({
         "metric": "contact_mpc_solves_per_s_H50",
         "value": round(solves_per_s, 2),

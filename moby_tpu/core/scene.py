@@ -68,8 +68,25 @@ K_SPHERE_TRIMESH = 11    # A=sphere, B=triangle mesh, 4 slots
 K_TRIMESH_CONVEX = 12    # A=trimesh, B=box: verts-vs-box + corners-vs-mesh
 K_TRIMESH_TRIMESH = 13   # A,B trimeshes: verts-vs-faces both ways, 8 slots
 
+# generic convex-convex support-function fallback (the reference's GJK +
+# get_supporting_point generic dispatch, include/Moby/CCD.inl:649-738):
+# kinds >= K_SUPPORT_BASE encode the STATIC type pair as
+# K_SUPPORT_BASE + ta*16 + tb so each combination compiles to its own
+# vectorized kernel (geometry/support.py)
+K_SUPPORT_BASE = 100
+SUPPORT_CONVEX_TYPES = frozenset(
+    {SPHERE, BOX, CYLINDER, CONE, TORUS, POLYHEDRON}
+)
+SUPPORT_NSLOTS = 10   # 5 tilted support points per side
+# pairs with legitimately no contact kernel (two fixed environment fields /
+# plugin ghost anchors) — skipped silently, like the reference never
+# registering them in its dispatch table
+_SKIP = "skip"
+
 
 def _kind_nslots(kind: int, vmax: int) -> int:
+    if kind >= K_SUPPORT_BASE:
+        return SUPPORT_NSLOTS
     if kind in (K_SPHERE_SPHERE, K_SPHERE_PLANE, K_BOX_SPHERE):
         return 1
     if kind == K_PLANE_GENERIC:
@@ -308,14 +325,15 @@ def box_vertices(hx, hy, hz) -> np.ndarray:
 
 def _hull_candidate_dirs(verts):
     """Face unit normals and edge unit directions (each deduped up to sign)
-    of conv(verts), via the native quickhull. Returns (normals (FN,3),
-    edge_dirs (ED,3)) or (None, None) when the native library is missing or
-    the hull is degenerate."""
+    of conv(verts), via the native quickhull (scipy-qhull fallback inside
+    `native.convex_hull` keeps this available on a fresh clone). Returns
+    (normals (FN,3), edge_dirs (ED,3)), or (None, None) only for genuinely
+    degenerate (flat/collinear) vertex clouds."""
     try:
         from .. import native
 
         hv, faces = native.convex_hull(np.asarray(verts, np.float64))
-    except Exception:
+    except ValueError:
         return None, None
     if len(faces) == 0:
         return None, None
@@ -549,6 +567,18 @@ class SceneBuilder:
             return K_TRIMESH_TRIMESH, False
         if ta == POLYHEDRON and tb == TRIMESH:
             return K_TRIMESH_TRIMESH, True
+        # generic convex-convex fallback: any remaining pair of convex
+        # primitives routes through the support-function GJK/MTV kernel
+        # (sphere-vs-polyhedron, cylinder-vs-cylinder, cone-vs-box, ...)
+        if ta in SUPPORT_CONVEX_TYPES and tb in SUPPORT_CONVEX_TYPES:
+            if ta <= tb:
+                return K_SUPPORT_BASE + ta * 16 + tb, False
+            return K_SUPPORT_BASE + tb * 16 + ta, True
+        # two fixed environment fields / plugin ghost anchors: nothing to do
+        if ta == NONE or tb == NONE:
+            return _SKIP, False
+        if {ta, tb} <= {PLANE, HEIGHTMAP}:
+            return _SKIP, False
         return None, False
 
     def compile(self):
@@ -628,7 +658,9 @@ class SceneBuilder:
             if g.gtype == POLYHEDRON and g.faces is None and g.verts is not None:
                 # derive hull triangles for the convex cloud so trimesh-vs-
                 # polyhedron pairs can route through the mesh kernels
-                # (indices mapped back into the original cloud ordering)
+                # (indices mapped back into the original cloud ordering);
+                # only a genuinely degenerate cloud may skip (ValueError) —
+                # anything else must fail loudly, not lose contacts
                 try:
                     from .. import native
 
@@ -644,7 +676,7 @@ class SceneBuilder:
                             [lookup[tuple(np.round(v, 12))] for v in hv],
                             np.int32)
                         g.faces = remap[hf]
-                except Exception:
+                except ValueError:
                     pass
         fmax = max([1] + [len(g.faces) for g in all_geoms if g.faces is not None])
         geom_faces = np.zeros((ng, fmax, 3), np.int32)
@@ -770,8 +802,26 @@ class SceneBuilder:
                     continue
                 ta, tb = all_geoms[i].gtype, all_geoms[j].gtype
                 kind, flip = self._pair_kind(ta, tb)
-                if kind is None:
+                if kind is _SKIP:
                     continue
+                if kind is None:
+                    # loud failure instead of silent contact loss (the
+                    # reference would at least attempt its generic
+                    # calc_signed_dist path on any pair, CCD.inl:649)
+                    tn = {
+                        SPHERE: "SPHERE", PLANE: "PLANE", BOX: "BOX",
+                        CYLINDER: "CYLINDER", CONE: "CONE", TORUS: "TORUS",
+                        HEIGHTMAP: "HEIGHTMAP", POLYHEDRON: "POLYHEDRON",
+                        NONE: "NONE", TRIMESH: "TRIMESH",
+                    }
+                    raise ValueError(
+                        f"no narrow-phase kernel for geometry pair "
+                        f"{tn.get(ta, ta)} vs {tn.get(tb, tb)} "
+                        f"(bodies '{all_geoms[i].body}' / "
+                        f"'{all_geoms[j].body}'). Decompose the shape, "
+                        f"register a plugin kernel via add_custom_pair, or "
+                        f"disable the pair."
+                    )
                 ga, gb = (j, i) if flip else (i, j)
                 pair_rows.append((ga, gb, kind))
 

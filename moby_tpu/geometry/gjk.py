@@ -89,12 +89,21 @@ class GJKResult(NamedTuple):
 def gjk(verts_a, nva, verts_b, nvb, max_iters: int = MAX_ITERS) -> GJKResult:
     """Distance between conv(verts_a[:nva]) and conv(verts_b[:nvb]),
     both in the same (world) frame."""
-    dtype = verts_a.dtype
 
     def sup_mink(d):
         sa = support(verts_a, nva, d)
         sb = support(verts_b, nvb, -d)
         return sa - sb, sa, sb
+
+    return gjk_support(sup_mink, verts_a.dtype, max_iters)
+
+
+def gjk_support(sup_mink, dtype, max_iters: int = MAX_ITERS) -> GJKResult:
+    """GJK over an arbitrary Minkowski-difference support closure
+    `sup_mink(d) -> (w, sa, sb)` (world frame). This is the generic form the
+    reference reaches through `Primitive::get_supporting_point` virtuals
+    (src/GJK.cpp, include/Moby/CCD.inl:649-738); curved primitives supply
+    closed-form support points instead of vertex clouds."""
 
     w0, a0, b0 = sup_mink(jnp.array([1.0, 0.0, 0.0], dtype))
     W = jnp.zeros((4, 3), dtype).at[0].set(w0)
@@ -227,6 +236,51 @@ def mtv(verts_a, nva, verts_b, nvb, refine_iters: int = 8):
 
     d, _ = jax.lax.fori_loop(0, refine_iters, body, (d, jnp.asarray(0.35, d.dtype)))
     depth = t_of(d)
+    return depth, -d
+
+
+def mtv_support(t_of, dtype, refine_iters: int = 10, extra_dirs=None,
+                extra_ok=None):
+    """Sampled-MTV over an arbitrary support-sum `t_of(d)` (batched over the
+    leading axis of d): the generic-pair analog of :func:`mtv` for primitives
+    with closed-form support functions (cylinder, cone, torus, sphere).
+
+    `extra_dirs` (E, 3) optionally seeds the search with problem-specific
+    candidates (e.g. the polytope side's world-frame face normals — exact
+    minimizer directions for face contacts); rows are tried with both signs,
+    masked by `extra_ok`. Returns (depth, n) with n the B->A contact normal,
+    same convention as :func:`mtv`."""
+    dirs = jnp.asarray(_MTV_DIRS, dtype)
+    ok = jnp.ones(dirs.shape[0], bool)
+    if extra_dirs is not None:
+        dirs = jnp.concatenate([dirs, extra_dirs, -extra_dirs], axis=0)
+        ok = jnp.concatenate([ok, extra_ok, extra_ok], axis=0)
+    t0 = jnp.where(ok, t_of(dirs), jnp.inf)
+    i0 = jnp.argmin(t0)
+    d = dirs[i0]
+
+    def body(k, carry):
+        d, delta = carry
+        ref = jnp.where(jnp.abs(d[0]) < 0.9,
+                        jnp.array([1.0, 0.0, 0.0], d.dtype),
+                        jnp.array([0.0, 1.0, 0.0], d.dtype))
+        t1 = jnp.cross(d, ref)
+        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-30)
+        t2 = jnp.cross(d, t1)
+        cands = jnp.stack([
+            d,
+            d + delta * t1, d - delta * t1,
+            d + delta * t2, d - delta * t2,
+        ])
+        cands = cands / jnp.linalg.norm(cands, axis=-1, keepdims=True)
+        vals = t_of(cands)
+        j = jnp.argmin(vals)
+        return cands[j], delta * 0.6
+
+    d, _ = jax.lax.fori_loop(
+        0, refine_iters, body, (d, jnp.asarray(0.35, dtype))
+    )
+    depth = t_of(d[None])[0]
     return depth, -d
 
 

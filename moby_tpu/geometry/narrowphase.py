@@ -945,6 +945,15 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
             d, a, b, pts, nrm, sd = _trimesh_convex(
                 scene, pos, quat_b, pairs, grp["nslots"]
             )
+        elif kind >= sc.K_SUPPORT_BASE:
+            # generic convex pair with static types encoded in the kind
+            from .support import get_support_kernel
+
+            ta = (kind - sc.K_SUPPORT_BASE) // 16
+            tb = (kind - sc.K_SUPPORT_BASE) % 16
+            d, a, b, pts, nrm, sd = get_support_kernel(ta, tb)(
+                scene, pos, quat_b, pairs
+            )
         else:
             d, a, b, pts, nrm, sd = _KERNELS[kind](scene, pos, quat_b, pairs)
         dist = dist.at[pairs].set(d)

@@ -274,6 +274,7 @@ def load(path: str, post_build=None):
     drag_forces: dict[str, tuple] = {}
     bodies_xml = {}
     abs_xml = {}
+    sdf_models = {}
     sim_el = None
 
     for el in moby:
@@ -301,6 +302,22 @@ def load(path: str, post_build=None):
             bodies_xml[el.get("id")] = el
         elif el.tag == "RCArticulatedBody":
             abs_xml[el.get("id")] = el
+        elif el.tag == "SDF":
+            # embedded SDF model file (the reference's XMLReader accepts an
+            # <SDF filename=.../> element inside <MOBY>; the ur10 example
+            # pulls its arm model this way, example/ur10/ur10.xml)
+            sdf_path = os.path.join(base_dir, el.get("filename"))
+            sroot = ET.parse(sdf_path).getroot()
+            smodels = (
+                [sroot] if sroot.tag == "model" else sroot.findall("model")
+            )
+            w = sroot.find("world")
+            if w is not None:
+                smodels += w.findall("model")
+            for m in smodels:
+                sdf_models[m.get("id") or m.get("name")] = (
+                    m, os.path.dirname(os.path.abspath(sdf_path))
+                )
         elif el.tag in ("TimeSteppingSimulator", "Simulator", "EventDrivenSimulator"):
             sim_el = el
 
@@ -339,6 +356,12 @@ def load(path: str, post_build=None):
         if el is None:
             if bid in abs_xml:
                 _build_articulated(b, abs_xml[bid], prims, path)
+                continue
+            if bid in sdf_models:
+                from . import sdfio
+
+                m_el, m_dir = sdf_models[bid]
+                sdfio.add_model(b, m_el, m_dir, name=bid)
                 continue
             raise ValueError(f"body {bid} not found")
         pos, quat = _pose_from_attrs(el)

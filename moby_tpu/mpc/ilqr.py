@@ -334,19 +334,25 @@ def ilqr_batched(
 
     alphas = 1.1 ** (-jnp.arange(line_search_steps, dtype=dtype) ** 2)
 
-    conv_tol = float(np.sqrt(np.finfo(np.dtype(dtype)).eps))
+    # cost is a sum over H stage terms, so its rounding scale is
+    # ~sqrt(H)·eps·(1+|cost|); 8x headroom keeps the gate robust to the
+    # model-decrease estimate itself being noisy at that scale
+    conv_tol = float(8.0 * np.sqrt(H) * np.finfo(np.dtype(dtype)).eps)
 
     def iteration(carry, _):
         xss, uss, cost_prev, mus = carry
         ks, Ks, ok, expected = backward(xss, uss, mus)
 
         # a member whose model-predicted decrease at alpha=1 is at rounding
-        # scale is converged: no alpha can STRICTLY improve its f32 cost, so
+        # scale is converged: no alpha can STRICTLY improve its cost, so
         # without this it would force the batch vote through every alpha
-        # (the whole-batch lock-step worst case) while changing nothing
+        # (the whole-batch lock-step worst case) while changing nothing.
+        # Guard against a mu-inflated `expected` masquerading as converged:
+        # only members whose regularizer sits at/near its floor qualify
+        # (a large mu shrinks k and hence the predicted decrease).
         converged = ok & (expected >= 0) & (
             expected <= conv_tol * (1.0 + jnp.abs(cost_prev))
-        )
+        ) & (mus <= 10 * mu_init)
 
         def ls_cond(c):
             k_i, found, _, _, _ = c

@@ -277,7 +277,6 @@ def _qp_tables_cached(key):
     NV = 5 * K + NL
     NI = K + NL + NF
     n = NV + NI
-    nJ = 3 * K + NL
 
     # variable -> (row of A, sign): x = [cn, cs, ct, ncs, nct, l]
     vm = _np.concatenate([
@@ -310,9 +309,9 @@ def _qp_tables_cached(key):
     I = _np.broadcast_to(rm[:, None], (n, n)).copy()
     J = _np.broadcast_to(cm[None, :], (n, n)).copy()
     S = rs[:, None] * cs_sign[None, :]
-    # zero the (ineq, ineq) block and fix the lower-left sign (+Mineq)
+    # zero the (ineq, ineq) block; the lower-left block is already +Mineq
+    # (rs[NV:] = is_, cs_sign[:NV] = vs)
     S[NV:, NV:] = 0.0
-    S[NV:, :NV] = is_[:, None] * vs[None, :]
     C = _np.zeros((n, n))
     C[_np.arange(K), _np.arange(K)] += compliance        # H compliance diag
     C[NV:, :NV] += Mf                                    # +Mineq friction
@@ -387,11 +386,8 @@ def unstack_impulses(scene: sc.Scene, z):
     return cn, cs, ct, l
 
 
-def _impulse_vec(scene: sc.Scene, z):
-    """z (n_lcp,) -> stacked impulse (3K+NL,) = [cn, cs-ncs, ct-nct, l]
-    as one gather-FMA (static index tables)."""
-    K = scene.n_contacts
-    NL = scene.n_limits
+@lru_cache(maxsize=64)
+def _impulse_vec_tables(K, NL, dtname):
     ga = _np.concatenate([
         _np.arange(K), K + _np.arange(K), 2 * K + _np.arange(K),
         5 * K + _np.arange(NL)]).astype(_np.int64)
@@ -400,7 +396,16 @@ def _impulse_vec(scene: sc.Scene, z):
         4 * K + _np.arange(K), _np.zeros(NL, _np.int64)])
     gc = _np.concatenate([
         _np.zeros(K), -_np.ones(K), -_np.ones(K), _np.zeros(NL)])
-    return z[ga] + jnp.asarray(gc.astype(_np.dtype(z.dtype))) * z[gb]
+    return ga, gb, gc.astype(_np.dtype(dtname))
+
+
+def _impulse_vec(scene: sc.Scene, z):
+    """z (n_lcp,) -> stacked impulse (3K+NL,) = [cn, cs-ncs, ct-nct, l]
+    as one gather-FMA (static index tables, cached like `_qp_tables`)."""
+    ga, gb, gc = _impulse_vec_tables(
+        scene.n_contacts, scene.n_limits, _np.dtype(z.dtype).name
+    )
+    return z[ga] + jnp.asarray(gc) * z[gb]
 
 
 def impulse_dv(scene, p: Problem, cn, cs, ct, l):

@@ -452,6 +452,18 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None,
             )
             dv = res.dv + res_ns.dv
             imp_n = res.impulses_n + res_ns.impulses_n
+
+            def _opt_sum(a, b):
+                # pivot/fallback counters may be absent on a path; summing
+                # what exists keeps `-stats` truthful on mixed-model scenes
+                if a is None:
+                    return b
+                if b is None:
+                    return a
+                return a + b
+
+            piv = _opt_sum(res.pivots, res_ns.pivots)
+            fb = _opt_sum(res.fallbacks, res_ns.fallbacks)
             if scene.use_nqp:
                 from . import nqp
 
@@ -461,7 +473,11 @@ def do_mini_step(scene: sc.Scene, st: sc.State, dt_rem, controller=None,
                 )
                 dv = dv + res_nqp.dv
                 imp_n = imp_n + res_nqp.impulses_n
-            res = impact.ImpactResult(dv, res.zlast, res.zlast_active, imp_n)
+                piv = _opt_sum(piv, res_nqp.pivots)
+                fb = _opt_sum(fb, res_nqp.fallbacks)
+            res = impact.ImpactResult(
+                dv, res.zlast, res.zlast_active, imp_n, piv, fb
+            )
         elif scene.use_noslip:
             from . import noslip
 

@@ -51,9 +51,7 @@ def _prep_bwd(M, z, mask):
     """
     eps = jnp.asarray(1e-10, M.dtype)
     active = (z > eps) & mask
-    n = M.shape[0]
     dtype = M.dtype
-    eye = jnp.eye(n, dtype=dtype)
     outer = active[:, None] & active[None, :]
     A_T = jnp.where(outer, M.T, 0.0) + jnp.diag(
         jnp.where(active, 0.0, 1.0).astype(dtype)
