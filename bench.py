@@ -114,7 +114,9 @@ def bench_mpc():
     scene, st = b.compile()
 
     H = 50
-    B = int(os.environ.get("MOBY_BENCH_MPC_B", "256"))
+    # default batch chosen by measurement (round 3): 256 -> 2923/s,
+    # 512 -> 3389/s, 1024 -> 3500/s on the v5e
+    B = int(os.environ.get("MOBY_BENCH_MPC_B", "1024"))
     n_iters = 4
     prob = contact_mpc.MPCProblem(scene=scene, template=st, dt=0.02, horizon=H)
     target = jnp.array([0.5, 0.0], st.pos.dtype)
@@ -195,10 +197,13 @@ def bench_ur10_mpc():
     )
     scene, st = b.compile()
 
-    ee_slot = [l.name for l in scene.arts[0].model.links].index(
-        "wrist_3_link"
-    )
+    ee_slot = scene.nb + [
+        l.name for l in scene.arts[0].model.links
+    ].index("wrist_3_link")
     nq = scene.nq_art
+    # packed-state layout: 13 values per free body (the inert ground), then
+    # q_art, qd_art
+    o_q = 13 * scene.nb
 
     def ee_pos_of(q_art):
         s = st.replace(q_art=q_art)
@@ -212,11 +217,13 @@ def bench_ur10_mpc():
     )
 
     def cost(x, u):
-        return 1e-6 * jnp.sum(u ** 2) + 0.01 * jnp.sum(x[nq:] ** 2)
+        qd = x[o_q + nq : o_q + 2 * nq]
+        return 1e-6 * jnp.sum(u ** 2) + 0.01 * jnp.sum(qd ** 2)
 
     def cost_final(x):
-        ee = ee_pos_of(x[:nq])
-        return 500.0 * jnp.sum((ee - target) ** 2) + jnp.sum(x[nq:] ** 2)
+        ee = ee_pos_of(x[o_q : o_q + nq])
+        qd = x[o_q + nq : o_q + 2 * nq]
+        return 500.0 * jnp.sum((ee - target) ** 2) + jnp.sum(qd ** 2)
 
     H = 50
     B = int(os.environ.get("MOBY_BENCH_UR10_B", "128"))
@@ -228,7 +235,11 @@ def bench_ur10_mpc():
         scene.arts[0].model, st.q_art, jnp.zeros(nq), jnp.zeros(nq),
         scene.gravity,
     )
-    us0 = jnp.tile(tau_hold[None, :], (H, 1))
+    # controls span the FULL gc vector (wrenches on free bodies + joint
+    # torques); warm start = gravity hold on the arm dofs
+    us0 = jnp.zeros((H, scene.ngc), st.pos.dtype).at[:, 6 * scene.nb :].set(
+        tau_hold[None, :]
+    )
 
     batched = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), st

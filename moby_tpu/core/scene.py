@@ -433,6 +433,16 @@ class SceneBuilder:
             (body1, np.asarray(anchor1, float), body2, np.asarray(anchor2, float))
         )
 
+    def add_planar_constraint(self, outboard, inboard, normal):
+        """Planar implicit joint: `outboard` translates in `inboard`'s plane
+        and rotates about its normal (Moby::PlanarJoint as a simulator-level
+        ImplicitConstraint, example/planar-joint/constrained.xml). `normal`
+        is given in the inboard body's frame."""
+        self._planars = getattr(self, "_planars", [])
+        self._planars.append(
+            (outboard, inboard, np.asarray(normal, float))
+        )
+
     def add_custom_pair(self, body1, body2, kernel, nslots):
         """Register a plugin narrow-phase kernel between two bodies (the
         reference's CollisionDetectionPlugin mechanism). `kernel(scene,
@@ -953,6 +963,53 @@ class SceneBuilder:
                     slot_b=slot_names[b2n],
                     anchor_a=tuple(a1),
                     anchor_b=tuple(a2),
+                )
+            )
+        from ..sim.bilateral import PLANAR as _PLANAR
+
+        for (out_n, in_n, nrm) in getattr(self, "_planars", []):
+            sa = slot_names[out_n]
+            sb = slot_names[in_n]
+
+            def _body_pose(name):
+                kb = name_to_body.get(name)
+                if kb is None:
+                    raise ValueError(
+                        f"planar constraint on unknown body {name}")
+                return self.bodies[kb].pos, self.bodies[kb].quat
+
+            pa0, qa0 = _body_pose(out_n)
+            pb0, qb0 = _body_pose(in_n)
+
+            def _qmul(q1, q2):
+                x1, y1, z1, w1 = q1
+                x2, y2, z2, w2 = q2
+                return np.array([
+                    w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                    w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                    w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+                    w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                ])
+
+            def _qrot(q, v):
+                qv = np.array([v[0], v[1], v[2], 0.0])
+                qc = np.array([-q[0], -q[1], -q[2], q[3]])
+                return _qmul(_qmul(q, qv), qc)[:3]
+
+            n_w0 = _qrot(qb0, nrm / max(np.linalg.norm(nrm), 1e-300))
+            offset0 = float(n_w0 @ (np.asarray(pa0) - np.asarray(pb0)))
+            qrel0 = _qmul(
+                np.asarray(qa0, float),
+                np.array([-qb0[0], -qb0[1], -qb0[2], qb0[3]], float),
+            )
+            bilaterals.append(
+                Bilateral(
+                    btype=_PLANAR,
+                    slot_a=sa,
+                    slot_b=sb,
+                    normal=tuple(nrm / max(np.linalg.norm(nrm), 1e-300)),
+                    offset0=offset0,
+                    qrel0=tuple(qrel0),
                 )
             )
 

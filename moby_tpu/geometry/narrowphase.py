@@ -914,12 +914,14 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
     K = scene.n_contacts
     dtype = pos.dtype
 
-    dist = jnp.zeros(NP_, dtype)
-    pa = jnp.zeros((NP_, 3), dtype)
-    pb = jnp.zeros((NP_, 3), dtype)
-    cpoint = jnp.zeros((K, 3), dtype)
-    cnormal = jnp.zeros((K, 3), dtype)
-    csdist = jnp.full(K, jnp.inf, dtype)
+    # per-kind kernel outputs are gathered by a STATIC permutation instead
+    # of scattered into zero-initialized tables: the kind groups partition
+    # pairs/slots exactly once, so `concatenate + take(static argsort)` is
+    # value-identical, and the dynamic-index scatters it replaces were real
+    # device-time kernels in the MPC profile
+    d_parts, a_parts, b_parts = [], [], []
+    pt_parts, n_parts, sd_parts = [], [], []
+    pair_idx_parts, slot_idx_parts = [], []
 
     for kind, grp in scene.kind_groups.items():
         pairs = grp["pairs"]
@@ -956,12 +958,33 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
             )
         else:
             d, a, b, pts, nrm, sd = _KERNELS[kind](scene, pos, quat_b, pairs)
-        dist = dist.at[pairs].set(d)
-        pa = pa.at[pairs].set(a)
-        pb = pb.at[pairs].set(b)
-        cpoint = cpoint.at[slots].set(pts.reshape(-1, 3))
-        cnormal = cnormal.at[slots].set(nrm.reshape(-1, 3))
-        csdist = csdist.at[slots].set(sd.reshape(-1))
+        d_parts.append(d)
+        a_parts.append(a)
+        b_parts.append(b)
+        pt_parts.append(pts.reshape(-1, 3))
+        n_parts.append(nrm.reshape(-1, 3))
+        sd_parts.append(sd.reshape(-1))
+        pair_idx_parts.append(np.asarray(pairs))
+        slot_idx_parts.append(np.asarray(slots))
+
+    if pair_idx_parts:
+        pair_perm = np.argsort(np.concatenate(pair_idx_parts))
+        dist = jnp.concatenate(d_parts)[pair_perm]
+        pa = jnp.concatenate(a_parts)[pair_perm]
+        pb = jnp.concatenate(b_parts)[pair_perm]
+    else:
+        dist = jnp.zeros(NP_, dtype)
+        pa = jnp.zeros((NP_, 3), dtype)
+        pb = jnp.zeros((NP_, 3), dtype)
+    if slot_idx_parts and K:
+        slot_perm = np.argsort(np.concatenate(slot_idx_parts))
+        cpoint = jnp.concatenate(pt_parts)[slot_perm]
+        cnormal = jnp.concatenate(n_parts)[slot_perm]
+        csdist = jnp.concatenate(sd_parts)[slot_perm]
+    else:
+        cpoint = jnp.zeros((K, 3), dtype)
+        cnormal = jnp.zeros((K, 3), dtype)
+        csdist = jnp.full(K, jnp.inf, dtype)
 
     pair_dist_of_slot = dist[scene.slot_pair]
     active = (csdist <= tol) & (pair_dist_of_slot < tol)

@@ -275,6 +275,7 @@ def load(path: str, post_build=None):
     bodies_xml = {}
     abs_xml = {}
     sdf_models = {}
+    loose_joints = {}
     sim_el = None
 
     for el in moby:
@@ -302,6 +303,12 @@ def load(path: str, post_build=None):
             bodies_xml[el.get("id")] = el
         elif el.tag == "RCArticulatedBody":
             abs_xml[el.get("id")] = el
+        elif el.tag in ("PlanarJoint", "SphericalJoint", "RevoluteJoint",
+                        "PrismaticJoint", "UniversalJoint", "FixedJoint"):
+            # top-level joints between free rigid bodies become
+            # simulator-level implicit constraints when referenced by an
+            # <ImplicitConstraint joint-id=...> (example/planar-joint)
+            loose_joints[el.get("id")] = el
         elif el.tag == "SDF":
             # embedded SDF model file (the reference's XMLReader accepts an
             # <SDF filename=.../> element inside <MOBY>; the ur10 example
@@ -441,6 +448,37 @@ def load(path: str, post_build=None):
             b.disabled_pairs.add(
                 tuple(sorted((c.get("object1-id"), c.get("object2-id"))))
             )
+        elif c.tag == "ImplicitConstraint":
+            jel = loose_joints.get(c.get("joint-id"))
+            if jel is None:
+                raise ValueError(
+                    f"ImplicitConstraint references unknown joint "
+                    f"{c.get('joint-id')}")
+            inb = jel.get("inboard-link-id")
+            outb = jel.get("outboard-link-id")
+            if jel.tag == "PlanarJoint":
+                nrm = _floats(jel.get("normal", "0 1 0"))
+                # normal is given in world coords at load; express in the
+                # inboard body's frame (identity-orientation inboard in the
+                # reference scene makes these coincide)
+                kb = next(i for i, bd in enumerate(b.bodies)
+                          if bd.name == inb)
+                Rb = _quat_to_R(b.bodies[kb].quat)
+                b.add_planar_constraint(outb, inb, Rb.T @ nrm)
+            elif jel.tag == "SphericalJoint":
+                loc = _floats(jel.get("location", "0 0 0"))
+
+                def _local(name):
+                    kb = next(i for i, bd in enumerate(b.bodies)
+                              if bd.name == name)
+                    bd = b.bodies[kb]
+                    return _quat_to_R(bd.quat).T @ (loc - bd.pos)
+
+                b.add_point_constraint(outb, _local(outb), inb, _local(inb))
+            else:
+                raise ValueError(
+                    f"ImplicitConstraint joint type {jel.tag} between free "
+                    f"bodies is not supported")
 
     if sim_el.get("min-step-size"):
         b.min_step_size = float(sim_el.get("min-step-size"))

@@ -156,6 +156,16 @@ def add_model(builder: sc.SceneBuilder, model_el, base_dir: str,
                 geoms.append(
                     (sc.CYLINDER, np.array([r, h]), gpos, _quat_mul(gquat, rq), None)
                 )
+            elif geo.find("torus") is not None:
+                # extension tag (SDF has no torus; the passive-walker's
+                # ring feet need one): axis = SDF z, matching our TORUS
+                # kernel's local-z axis
+                t = geo.find("torus")
+                R_ = float(t.findtext("major_radius"))
+                r_ = float(t.findtext("tube_radius", "0"))
+                geoms.append(
+                    (sc.TORUS, np.array([R_, r_]), gpos, gquat, None)
+                )
             elif geo.find("mesh") is not None:
                 uri = geo.find("mesh").findtext("uri", "")
                 fname = uri.split("//")[-1]

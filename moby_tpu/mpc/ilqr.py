@@ -27,6 +27,23 @@ class ILQRResult(NamedTuple):
     n_iters: jnp.ndarray
 
 
+def _pd_inverse(M):
+    """(Minv, pd_ok) for the Riccati Quu solve.
+
+    f32 (the TPU execution dtype) routes through the fused Gauss–Jordan with
+    the signed-pivot PD check — the LAPACK-style Cholesky + LU custom-calls
+    XLA otherwise emits were 51% of MPC-sweep device time at (256, 12, 12).
+    f64 (CPU regression mode) keeps the LAPACK pair.
+    """
+    if jnp.dtype(M.dtype) == jnp.float32:
+        from ..solvers.lcp import gj_invert_pd
+
+        return gj_invert_pd(M)
+    L = jnp.linalg.cholesky(M)
+    ok = jnp.all(jnp.isfinite(L.reshape(M.shape[:-2] + (-1,))), axis=-1)
+    return jnp.linalg.inv(M), ok
+
+
 def _rollout(f, x0, us):
     def step(x, u):
         x2 = f(x, u)
@@ -96,11 +113,9 @@ def ilqr(
             Quu = cuu_fn(x_k, u_k) + B_k.T @ Vxx @ B_k
             Qux = cux_fn(x_k, u_k) + B_k.T @ Vxx @ A_k
             Quu_reg = Quu + mu * jnp.eye(nu, dtype=dtype)
-            # solvability check via Cholesky; a failed step poisons `ok` and
-            # the iteration retries at higher mu (Levenberg escalation)
-            L = jnp.linalg.cholesky(Quu_reg)
-            ok_k = jnp.all(jnp.isfinite(L))
-            Quu_inv = jnp.linalg.inv(Quu_reg)
+            # PD check + inverse in one fused elimination; a failed step
+            # poisons `ok` and the iteration retries at higher mu
+            Quu_inv, ok_k = _pd_inverse(Quu_reg)
             k = -Quu_inv @ Qu
             K = -Quu_inv @ Qux
             Vx2 = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
@@ -133,7 +148,10 @@ def ilqr(
         xs2 = jnp.concatenate([xs[0][None], xs2], axis=0)
         return xs2, us2
 
-    conv_tol = float(np.sqrt(np.finfo(np.dtype(dtype)).eps))
+    # cost sums H stage terms -> rounding scale ~sqrt(H)·eps·(1+|cost|);
+    # the mu-floor gate stops a mu-inflated (shrunken) model decrease from
+    # masquerading as convergence — same rule as ilqr_batched
+    conv_tol = float(8.0 * np.sqrt(H) * np.finfo(np.dtype(dtype)).eps)
 
     def iteration(carry, _):
         xs, us, cost_prev, mu = carry
@@ -144,7 +162,7 @@ def ilqr(
         # from forcing the batch vote through every alpha)
         converged = ok & (expected >= 0) & (
             expected <= conv_tol * (1.0 + jnp.abs(cost_prev))
-        )
+        ) & (mu <= 10 * mu_init)
 
         # evaluate every line-search step size in parallel (a batched rollout
         # over the alpha axis) instead of sequentially: the forward rollout is
@@ -274,9 +292,7 @@ def ilqr_batched(
             Qux = cux_fn(x_k, u_k) + jnp.einsum(
                 "bji,bjk,bkl->bil", B_k, Vxx, A_k)
             Quu_reg = Quu + mus[:, None, None] * eye[None]
-            L = jnp.linalg.cholesky(Quu_reg)
-            ok_k = jnp.all(jnp.isfinite(L.reshape(B, -1)), axis=-1)
-            Quu_inv = jnp.linalg.inv(Quu_reg)
+            Quu_inv, ok_k = _pd_inverse(Quu_reg)
             k = -jnp.einsum("bij,bj->bi", Quu_inv, Qu)
             K = -jnp.einsum("bij,bjk->bik", Quu_inv, Qux)
             Vx2 = (

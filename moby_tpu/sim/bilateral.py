@@ -20,6 +20,11 @@ Constraint types:
 * POINT — ball joint pinning anchor points of two bodies (3 equations),
   the loop-closure primitive for simulator-level implicit joints.
   J from current poses; J̇q̇ obtained by jax.jvp through the row builder.
+* PLANAR — planar joint between two bodies (`Moby::PlanarJoint`,
+  example/planar-joint/constrained.xml): body A may translate in B's plane
+  and rotate about its normal; 3 equations — relative velocity along the
+  normal, relative angular velocity along both tangents. Position form:
+  normal offset drift + small-angle tilt of the relative rotation.
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from ..math import quaternion as quat
 
 GEAR = 0
 POINT = 1
+PLANAR = 2
 
 
 @dataclass(frozen=True)
@@ -49,11 +55,15 @@ class Bilateral:
     q_idx_b: int = 0
     q0_a: float = 0.0
     q0_b: float = 0.0
-    # POINT: pose slots + local anchors
+    # POINT: pose slots + local anchors; PLANAR reuses the slots
     slot_a: int = 0
     slot_b: int = 0
     anchor_a: tuple = (0.0, 0.0, 0.0)
     anchor_b: tuple = (0.0, 0.0, 0.0)
+    # PLANAR: plane normal in body B's (inboard) frame + initial offsets
+    normal: tuple = (0.0, 1.0, 0.0)
+    offset0: float = 0.0          # initial n·(p_a − p_b)
+    qrel0: tuple = (0.0, 0.0, 0.0, 1.0)  # initial q_a ⊗ q_b⁻¹ (xyzw)
 
     @property
     def n_rows(self):
@@ -94,6 +104,32 @@ def constraint_rows(scene: sc.Scene, st: sc.State, pt):
             Jb = Wb[:3] - hat(rb) @ Wb[3:]
             J = jax.lax.dynamic_update_slice(J, Ja - Jb, (r, 0))
             C = jax.lax.dynamic_update_slice(C, pa - pb, (r,))
+            r += 3
+        elif b.btype == PLANAR:
+            from ..math.so3 import orthonormal_basis
+
+            n_w = quat.rotate(pt.quat[b.slot_b], jnp.asarray(b.normal, dtype))
+            t1, t2 = orthonormal_basis(n_w)
+            Wa = pt.W[b.slot_a]
+            Wb = pt.W[b.slot_b]
+            rows = jnp.stack([
+                n_w @ (Wa[:3] - Wb[:3]),     # no relative motion along n
+                t1 @ (Wa[3:] - Wb[3:]),      # no tilt rate about t1
+                t2 @ (Wa[3:] - Wb[3:]),      # no tilt rate about t2
+            ])
+            # position drift: normal offset + small-angle tilt of the
+            # relative rotation vs its initial value
+            c_n = n_w @ (pt.pos[b.slot_a] - pt.pos[b.slot_b]) - b.offset0
+            q_rel = quat.mul(
+                pt.quat[b.slot_a], quat.conj(pt.quat[b.slot_b])
+            )
+            q_err = quat.mul(
+                q_rel, quat.conj(jnp.asarray(b.qrel0, dtype))
+            )
+            tilt = 2.0 * q_err[:3] * jnp.sign(q_err[3])
+            cs = jnp.stack([c_n, t1 @ tilt, t2 @ tilt])
+            J = jax.lax.dynamic_update_slice(J, rows, (r, 0))
+            C = jax.lax.dynamic_update_slice(C, cs, (r,))
             r += 3
     return J, C
 

@@ -71,11 +71,26 @@ def island_labels(scene: sc.Scene, active):
     """Connected components over *enabled* pose slots through active contacts;
     links of one articulated body are always mutually connected
     (src/UnilateralConstraint.cpp:958-1065). Disabled bodies are not nodes."""
+    import numpy as _np
+
     ns = scene.n_pose_slots
     labels0 = jnp.arange(ns, dtype=jnp.int32)
     s1, s2 = scene.slot_s1, scene.slot_s2
     both = scene.slot_enabled[s1] & scene.slot_enabled[s2] & active
     big = jnp.int32(ns)
+
+    # static slot-incidence matrix of the contact slots: inc[k, s] == slot k
+    # touches pose slot s. Propagation becomes one masked (K, ns) reduce-min
+    # per sweep — all fusible elementwise + reduce, no scatters (the
+    # dynamic-index .at[].min lowered to real scatter kernels that showed in
+    # the MPC device profile).
+    K = int(scene.n_contacts)
+    s1_np = _np.asarray(s1)
+    s2_np = _np.asarray(s2)
+    inc = _np.zeros((K, ns), bool)
+    inc[_np.arange(K), s1_np] = True
+    inc[_np.arange(K), s2_np] = True
+    inc_j = jnp.asarray(inc)
 
     # static AB cliques + bilateral-joint edges
     ab_ranges = []
@@ -92,8 +107,11 @@ def island_labels(scene: sc.Scene, active):
     def body(_, labels):
         m = jnp.minimum(labels[s1], labels[s2])
         upd = jnp.where(both, m, big)
-        labels = labels.at[s1].min(upd)
-        labels = labels.at[s2].min(upd)
+        prop = jnp.min(
+            jnp.where(inc_j, upd[:, None], big), axis=0,
+            initial=_np.int32(ns),
+        ).astype(jnp.int32)
+        labels = jnp.minimum(labels, prop)
         for a, b in ab_ranges:
             mn = jnp.min(labels[a:b])
             labels = labels.at[a:b].set(mn)
@@ -167,19 +185,29 @@ def gc_inv_inertia(scene: sc.Scene, st, quat_b):
     joint-space H(q)^{-1} (the reference's X, compute_X :1590)."""
     ngc = scene.ngc
     dtype = st.pos.dtype
-    Minv = jnp.zeros((ngc, ngc), dtype)
     nb = scene.nb
     if nb:
         R = quat.to_matrix(quat_b)
         Iinv_w = R @ scene.inv_inertia @ jnp.swapaxes(R, -1, -2)
         eye3 = jnp.eye(3, dtype=dtype)
-        for b in range(nb):
-            Minv = Minv.at[6 * b : 6 * b + 3, 6 * b : 6 * b + 3].set(
-                scene.inv_mass[b] * eye3
-            )
-            Minv = Minv.at[6 * b + 3 : 6 * b + 6, 6 * b + 3 : 6 * b + 6].set(
-                Iinv_w[b]
-            )
+        z3 = jnp.zeros((nb, 3, 3), dtype)
+        lin = scene.inv_mass[:, None, None] * eye3[None]
+        blk = jnp.concatenate(
+            [
+                jnp.concatenate([lin, z3], axis=-1),
+                jnp.concatenate([z3, Iinv_w], axis=-1),
+            ],
+            axis=-2,
+        )  # (nb, 6, 6)
+        # block-diagonal placement as one fused einsum (per-body scatter
+        # .at[].set ops showed up as real device time in the MPC profile)
+        eye_nb = jnp.eye(nb, dtype=dtype)
+        free = jnp.einsum("bij,bc->bicj", blk, eye_nb).reshape(6 * nb, 6 * nb)
+        if ngc == 6 * nb:
+            return free
+        Minv = jnp.zeros((ngc, ngc), dtype).at[: 6 * nb, : 6 * nb].set(free)
+    else:
+        Minv = jnp.zeros((ngc, ngc), dtype)
     for ent in scene.arts:
         m = ent.model
         q = st.q_art[ent.q_off : ent.q_off + m.nq]
@@ -498,14 +526,19 @@ def resolve_impacts(
     if eps_all_zero:
         dv = p.Minv @ (p.Jall.T @ imp1)
         z_f = z
+        dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
         if scene.bilaterals:
+            # λ-correction removing bilateral constraint-velocity violation
+            # (update_from_stacked :355-379) — applied regardless of
+            # unilateral impacts: a violating velocity (e.g. initial
+            # conditions against an implicit joint) must not persist until
+            # an unrelated impact fires
             from . import bilateral as bil
 
             Jb, _ = bil.constraint_rows(scene, st, pt)
             Minv_raw = gc_inv_inertia(scene, st, st.quat)
             v_pre = gc_velocity(scene, st)
-            dv = dv + bil.velocity_correction(Minv_raw, Jb, v_pre)
-        dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
+            dv = dv + bil.velocity_correction(Minv_raw, Jb, v_pre + dv)
         z_out = jnp.where(any_impact, z_f, zlast)
         za_out = jnp.where(any_impact, act, zlast_active)
         cn_total = jnp.where(any_impact, cn1, jnp.zeros(K, dtype))
@@ -552,17 +585,16 @@ def resolve_impacts(
     dv = p.Minv @ (p.Jall.T @ imp_tot)
     z_f = jnp.where(need_resolve, z3, z)
 
+    dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
     if scene.bilaterals:
-        # λ-correction removing pre-impact bilateral constraint-velocity
-        # violation (update_from_stacked, :355-379)
+        # λ-correction removing bilateral constraint-velocity violation
+        # (update_from_stacked, :355-379) — ungated: see eps_all_zero path
         from . import bilateral as bil
 
         Jb, _ = bil.constraint_rows(scene, st, pt)
         Minv_raw = gc_inv_inertia(scene, st, st.quat)
         v_pre = gc_velocity(scene, st)
-        dv = dv + bil.velocity_correction(Minv_raw, Jb, v_pre)
-
-    dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
+        dv = dv + bil.velocity_correction(Minv_raw, Jb, v_pre + dv)
     z_out = jnp.where(any_impact, z_f, zlast)
     za_out = jnp.where(any_impact, act, zlast_active)
     cn_total = jnp.where(
@@ -631,15 +663,27 @@ def _active(scene, st, pt, con, nz):
     lim_act, lim_vel = limit_activity_state(scene, st, nz)
 
     con_lab, lim_lab = group_labels(scene, con)
-    ns = scene.n_pose_slots
+
+    # "group has an impacting member" via label comparison instead of a
+    # scatter-max over a (ns+1,) table: O(K^2) fused bools beat a scatter
+    # kernel at the K this engine batches (dstep hot path)
+    def _any_in_group(lab_q, lab_src, flags):
+        return jnp.any(
+            (lab_q[:, None] == lab_src[None, :]) & flags[None, :], axis=1
+        )
 
     neg_con = con.active & (cn_vel < -nz)
-    has_neg = jnp.zeros(ns + 1, bool).at[con_lab].max(neg_con)
     if scene.n_limits:
         neg_lim = lim_act & (lim_vel < -nz)
-        has_neg = has_neg.at[lim_lab].max(neg_lim)
-        act_lim = lim_act & has_neg[lim_lab]
+        act = con.active & (
+            _any_in_group(con_lab, con_lab, neg_con)
+            | _any_in_group(con_lab, lim_lab, neg_lim)
+        )
+        act_lim = lim_act & (
+            _any_in_group(lim_lab, con_lab, neg_con)
+            | _any_in_group(lim_lab, lim_lab, neg_lim)
+        )
     else:
+        act = con.active & _any_in_group(con_lab, con_lab, neg_con)
         act_lim = lim_act
-    act = con.active & has_neg[con_lab]
     return act, act_lim, cn_vel, lim_vel

@@ -28,11 +28,35 @@ class PoseTable(NamedTuple):
     W: jnp.ndarray      # (ns, 6, ngc): v_gc -> [v; ω] at slot origin (world)
 
 
+def _free_body_W(scene: sc.Scene, dtype):
+    """Constant (nb, 6, ngc) jacobian rows of the free bodies: identity
+    blocks masked by enabled (disabled bodies have no gc in the reference;
+    zero rows keep them immovable). Built host-side — it depends only on
+    static scene structure, so the compiled step carries it as a constant
+    instead of per-step scatter ops."""
+    import numpy as np
+
+    nb, ngc = scene.nb, scene.ngc
+    W0 = np.zeros((nb, 6, ngc), np.dtype(dtype))
+    enabled = np.asarray(scene.slot_enabled)[:nb]
+    for b in range(nb):
+        if enabled[b]:
+            W0[b, :, 6 * b : 6 * b + 6] = np.eye(6)
+    return jnp.asarray(W0)
+
+
 def compute(scene: sc.Scene, st: sc.State) -> PoseTable:
     ns = scene.n_pose_slots
     nb = scene.nb
     ngc = scene.ngc
     dtype = st.pos.dtype
+
+    if not scene.arts:
+        # free bodies only: the state IS the pose table; W is a constant
+        return PoseTable(
+            pos=st.pos, quat=st.quat, vel=st.vel, omega=st.omega,
+            W=_free_body_W(scene, dtype),
+        )
 
     pos = jnp.zeros((ns, 3), dtype)
     quat_t = jnp.zeros((ns, 4), dtype).at[:, 3].set(1.0)
@@ -45,12 +69,7 @@ def compute(scene: sc.Scene, st: sc.State) -> PoseTable:
         quat_t = quat_t.at[:nb].set(st.quat)
         vel = vel.at[:nb].set(st.vel)
         omega = omega.at[:nb].set(st.omega)
-        # identity blocks, masked by enabled (disabled bodies have no gc in
-        # the reference; zero rows keep them immovable)
-        eye6 = jnp.eye(6, dtype=dtype)
-        for b in range(nb):
-            W = W.at[b, :, 6 * b : 6 * b + 6].set(eye6)
-        W = W * scene.slot_enabled[:ns, None, None]
+        W = W.at[:nb].set(_free_body_W(scene, dtype))
 
     slot0 = nb
     for ent in scene.arts:

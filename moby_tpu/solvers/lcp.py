@@ -175,6 +175,46 @@ def _use_gj(dtype):
     return jnp.dtype(dtype) == jnp.float32
 
 
+def gj_invert_pd(A):
+    """Batched inverse of symmetric matrices by unpivoted Gauss–Jordan with
+    a positive-definiteness check: a symmetric matrix is PD iff every
+    natural-order elimination pivot is positive (the Cholesky criterion).
+
+    Replaces `jnp.linalg.cholesky` + `jnp.linalg.inv` pairs on the TPU hot
+    path: XLA lowers those to LuDecompositionBlock/Cholesky custom-calls
+    that cost ~0.7 ms per (256, 12, 12) batch — two orders of magnitude over
+    these fused rank-1 updates (measured via the hlo_stats profile of the
+    MPC sweep, where the pair was 51% of device time). Returns (Ainv, pd_ok).
+    """
+    n = A.shape[-1]
+    dtype = A.dtype
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny * 1e8, dtype)
+    B0 = jnp.broadcast_to(jnp.eye(n, dtype=dtype), A.shape)
+
+    def step(k, carry):
+        A, B, minpiv = carry
+        prow = A[..., k, :]
+        brow = B[..., k, :]
+        piv = prow[..., k]
+        minpiv = jnp.minimum(minpiv, piv)  # SIGNED: PD needs every pivot > 0
+        ok = jnp.abs(piv) > tiny
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, piv, 1.0), 0.0)
+        prow = prow * inv[..., None]
+        brow = brow * inv[..., None]
+        col = A[..., :, k]
+        factor = col * (1.0 - jax.nn.one_hot(k, n, dtype=dtype))
+        A = A - factor[..., None] * prow[..., None, :]
+        B = B - factor[..., None] * brow[..., None, :]
+        A = A.at[..., k, :].set(prow)
+        B = B.at[..., k, :].set(brow)
+        return A, B, minpiv
+
+    minpiv0 = jnp.full(A.shape[:-2], jnp.inf, dtype)
+    _, B, minpiv = jax.lax.fori_loop(0, n, step, (A, B0, minpiv0))
+    ok = (minpiv > tiny) & jnp.all(jnp.isfinite(B), axis=(-2, -1))
+    return B, ok
+
+
 def solve_principal(M, rhs, nonbas):
     """Solve the principal subsystem M[nb, nb] x_nb = rhs_nb; zero elsewhere.
 

@@ -125,3 +125,67 @@ class TestJointLimitChain:
             assert np.all(q >= lo - 2e-2) and np.all(q <= hi + 2e-2), q
         # the kick actually moved the chain
         assert abs(float(st.q_art[0]) - 1.5708) > 0.1
+
+
+class TestPlanarJoint:
+    def test_constraint_holds_while_sliding(self):
+        """example/planar-joint/constrained.xml: the box spins at omega_x=100
+        but the planar ImplicitConstraint forbids it — the spin is removed,
+        y stays pinned, and tilted gravity slides the box in-plane."""
+        scene, st, opts = mobyxml.load(f"{EX}/planar-joint/constrained.xml")
+        assert len(scene.bilaterals) == 1
+        step_j = jax.jit(lambda s: stepper.step(scene, s, 1e-3))
+        for _ in range(500):
+            st = step_j(st)
+        assert abs(float(st.pos[0, 1]) - 0.5) < 1e-6        # pinned in y
+        assert np.linalg.norm(np.asarray(st.omega[0])) < 1e-6  # spin killed
+        # slides under the in-plane gravity components (1, ., 1): v = g*t
+        assert abs(float(st.vel[0, 0]) - 0.5) < 5e-3
+        assert abs(float(st.vel[0, 2]) - 0.5) < 5e-3
+
+
+class TestFixedJointTable:
+    def test_spinning_table_comes_to_rest(self):
+        """example/fixed-joint/fixed-articulated-table.xml: a table of
+        FixedJoint-welded parts initially rotating on the plane 'should come
+        to rest' (scene header comment)."""
+        scene, st, opts = mobyxml.load(
+            f"{EX}/fixed-joint/fixed-articulated-table.xml"
+        )
+        step_j = jax.jit(lambda s: stepper.step(scene, s, 0.01))
+        w0 = float(np.abs(np.asarray(st.qd_art)).max()) if scene.nv_art \
+            else float(np.abs(np.asarray(st.omega)).max())
+        for _ in range(150):
+            st = step_j(st)
+        qd = np.asarray(st.qd_art)
+        assert np.all(np.isfinite(qd))
+        assert np.abs(qd).max() < 0.5 * max(w0, 1.0)  # friction slows it
+
+
+class TestMrobot:
+    def test_pioneer_settles_on_wheels(self):
+        """example/mrobot/mrobot.xml (SDF-embedded Pioneer 2dx): loads
+        through the <SDF> tag and settles on the ground without falling
+        through or blowing up."""
+        scene, st, opts = mobyxml.load(f"{EX}/mrobot/mrobot.xml")
+        assert scene.nv_art >= 6  # floating base + wheels
+        step_j = jax.jit(lambda s: stepper.step(scene, s, 2e-3))
+        for _ in range(150):
+            st = step_j(st)
+        q = np.asarray(st.q_art)
+        assert np.all(np.isfinite(q))
+        # base height bounded (started near the ground; must not tunnel)
+        assert -0.05 < float(q[2]) < 0.5
+
+
+class TestPartsFeeder:
+    def test_part_rides_the_feeder(self):
+        """example/parts-feeder/feeder.xml: a thin part rests on the tilted
+        feeder tray (plane geometry on an articulated link vs box part)."""
+        scene, st, opts = mobyxml.load(f"{EX}/parts-feeder/feeder.xml")
+        step_j = jax.jit(lambda s: stepper.step(scene, s, 1e-3))
+        for _ in range(200):
+            st = step_j(st)
+        assert np.all(np.isfinite(np.asarray(st.pos)))
+        # the part must not fall through the tray (tray near z ~ 0)
+        assert float(st.pos[0, 2]) > -0.2

@@ -62,3 +62,44 @@ class TestSharding:
         batched = pmesh.shard_batch(m, pmesh.broadcast_state(st, 16))
         # the batch is actually spread over devices
         assert len(batched.pos.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestShardedMPC:
+    def test_sharded_mpc_matches_unsharded(self):
+        """`sharded_mpc_sweep` (shard_map + batch-voted iLQR) must produce
+        the same solves as single-device `solve_batch` — shard-count
+        invariance for the north-star MPC path."""
+        from moby_tpu.mpc import contact_mpc
+
+        scene, st = build_scene()
+        B = 16
+        batched = pmesh.broadcast_state(st, B)
+        dz = jnp.linspace(0.0, 0.3, B)
+        batched = batched.replace(pos=batched.pos.at[:, 0, 2].add(dz))
+
+        prob = contact_mpc.MPCProblem(
+            scene=scene, template=st, dt=0.02, horizon=6
+        )
+        target = jnp.asarray([0.5, 0.0], st.pos.dtype)
+
+        def cost(x, u):
+            return 1e-4 * jnp.sum(u[:6] ** 2)
+
+        def cost_final(x):
+            return 50.0 * jnp.sum((x[0:2] - target) ** 2)
+
+        m8 = pmesh.scenario_mesh(8)
+        res8 = pmesh.sharded_mpc_sweep(
+            prob, pmesh.shard_batch(m8, batched), cost, cost_final, m8,
+            n_iters=3,
+        )
+        res1 = contact_mpc.solve_batch(
+            prob, batched, cost, cost_final, n_iters=3
+        )
+        np.testing.assert_allclose(
+            np.asarray(res8.cost), np.asarray(res1.cost), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(res8.us), np.asarray(res1.us), atol=1e-9
+        )
