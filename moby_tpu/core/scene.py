@@ -84,27 +84,37 @@ SUPPORT_NSLOTS = 10   # 5 tilted support points per side
 _SKIP = "skip"
 
 
+# vertex-driven contact-slot cap: pair kinds that emit one slot per vertex
+# cap at the VSLOT_CAP deepest vertices instead (kernels top-k select when
+# the geometry has more). A physical contact manifold needs <= ~8 points;
+# without the cap a 1k-vertex mesh would blow the QP-LCP to 5000+ variables.
+# Scenes with vmax <= VSLOT_CAP (all the reference golden scenes: boxes have
+# 8 vertices) are bit-identical to the uncapped layout.
+VSLOT_CAP = 16
+
+
 def _kind_nslots(kind: int, vmax: int) -> int:
     if kind >= K_SUPPORT_BASE:
         return SUPPORT_NSLOTS
     if kind in (K_SPHERE_SPHERE, K_SPHERE_PLANE, K_BOX_SPHERE):
         return 1
     if kind == K_PLANE_GENERIC:
-        return vmax
+        return min(vmax, VSLOT_CAP)
     if kind in (K_CYLINDER_PLANE, K_TORUS_PLANE, K_CONE_PLANE):
         return 4
     if kind == K_BOX_BOX:
-        return 2 * vmax
+        return 2 * min(vmax, VSLOT_CAP)
     if kind == K_SPHERE_HEIGHTMAP:
         return 1
     if kind == K_VERTS_HEIGHTMAP:
-        return vmax
+        return min(vmax, VSLOT_CAP)
     if kind == K_CONVEX_CONVEX:
         return 8  # 4+4 bidirectional vertex-vs-supporting-plane manifold
     if kind == K_SPHERE_TRIMESH:
         return 4
     if kind == K_TRIMESH_CONVEX:
-        return vmax + 8  # mesh verts in box + 8 box corners vs mesh
+        # capped mesh verts in box + 8 box corners vs mesh
+        return min(vmax, VSLOT_CAP) + 8
     if kind == K_TRIMESH_TRIMESH:
         return 8  # 4+4 deepest vertices-vs-faces, both directions
     raise ValueError(f"unknown kind {kind}")

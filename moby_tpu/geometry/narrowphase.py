@@ -127,17 +127,20 @@ def _box_sphere(scene, pos, quat_b, pairs):
 def _plane_generic(scene, pos, quat_b, pairs, nslots):
     """A = plane, B = solid with vertices; one slot per vertex of B
     (reference CCD.inl find_contacts_plane_generic: contacts at B's vertices
-    with normal = -plane_up, geom1 = plane)."""
+    with normal = -plane_up, geom1 = plane). Solids with more vertices than
+    slots (scene.VSLOT_CAP) contribute their `nslots` deepest vertices — a
+    superset of any physical contact manifold."""
     ga = scene.pair_g1[pairs]   # plane
     gb = scene.pair_g2[pairs]   # vertex solid
     pp, pq = geom_world_pose(scene, pos, quat_b, ga)
     sp, sq = geom_world_pose(scene, pos, quat_b, gb)
     up = quat.rotate(pq, jnp.array([0.0, 1.0, 0.0], dtype=pos.dtype))
-    verts = scene.geom_verts[gb][:, :nslots]          # (P, nslots, 3) local
+    verts = scene.geom_verts[gb]                      # (P, V, 3) local
+    V = verts.shape[1]
     nv = scene.geom_nverts[gb]                        # (P,)
     vw = sp[:, None, :] + quat.rotate(sq[:, None, :], verts)  # world verts
-    y = jnp.sum((vw - pp[:, None, :]) * up[:, None, :], axis=-1)  # (P, nslots)
-    valid = jnp.arange(nslots)[None, :] < nv[:, None]
+    y = jnp.sum((vw - pp[:, None, :]) * up[:, None, :], axis=-1)  # (P, V)
+    valid = jnp.arange(V)[None, :] < nv[:, None]
     yv = jnp.where(valid, y, jnp.inf)
     dist = jnp.min(yv, axis=-1)
     # closest points: the lowest vertex and its projection on the plane
@@ -145,6 +148,11 @@ def _plane_generic(scene, pos, quat_b, pairs, nslots):
     vmin = jnp.take_along_axis(vw, imin[:, None, None], axis=1)[:, 0, :]
     pbv = vmin
     pav = vmin - up * jnp.take_along_axis(y, imin[:, None], axis=1)
+    if nslots < V:
+        idx, _ = _topk_slots(yv, nslots)              # deepest nslots
+        vw = jnp.take_along_axis(vw, idx[:, :, None], axis=1)
+        y = jnp.take_along_axis(y, idx, axis=1)
+        valid = jnp.take_along_axis(valid, idx, axis=1)
     # per-vertex contact slots: normal = -up (geom1 = plane)
     n = jnp.broadcast_to(-up[:, None, :], vw.shape)
     sdist = jnp.where(valid, y, jnp.inf)
@@ -360,15 +368,16 @@ def _box_box(scene, pos, quat_b, pairs, nslots):
     ha = scene.geom_params[ga, :3]
     hb = scene.geom_params[gb, :3]
     half_slots = nslots // 2
+    V = scene.geom_verts.shape[1]
 
     # vertices of A in B's frame
-    va = scene.geom_verts[ga][:, :half_slots]                # (P, V, 3) local A
+    va = scene.geom_verts[ga]                                # (P, V, 3) local A
     va_w = pa_[:, None, :] + quat.rotate(qa[:, None, :], va)
     va_b = quat.inverse_rotate(qb[:, None, :], va_w - pb_[:, None, :])
     dA, nA_local = _point_box_dist_normal(hb[:, None, :], va_b)
     nA_w = quat.rotate(qb[:, None, :], nA_local)             # outward from B
 
-    vb = scene.geom_verts[gb][:, :half_slots]
+    vb = scene.geom_verts[gb]
     vb_w = pb_[:, None, :] + quat.rotate(qb[:, None, :], vb)
     vb_a = quat.inverse_rotate(qa[:, None, :], vb_w - pa_[:, None, :])
     dB, nB_local = _point_box_dist_normal(ha[:, None, :], vb_a)
@@ -376,8 +385,20 @@ def _box_box(scene, pos, quat_b, pairs, nslots):
 
     nva = scene.geom_nverts[ga]
     nvb = scene.geom_nverts[gb]
-    validA = jnp.arange(half_slots)[None, :] < nva[:, None]
-    validB = jnp.arange(half_slots)[None, :] < nvb[:, None]
+    validA = jnp.arange(V)[None, :] < nva[:, None]
+    validB = jnp.arange(V)[None, :] < nvb[:, None]
+    if half_slots < V:
+        # slot cap: keep the deepest half_slots vertices per side
+        idxA, _ = _topk_slots(jnp.where(validA, dA, jnp.inf), half_slots)
+        va_w = jnp.take_along_axis(va_w, idxA[:, :, None], axis=1)
+        dA = jnp.take_along_axis(dA, idxA, axis=1)
+        nA_w = jnp.take_along_axis(nA_w, idxA[:, :, None], axis=1)
+        validA = jnp.take_along_axis(validA, idxA, axis=1)
+        idxB, _ = _topk_slots(jnp.where(validB, dB, jnp.inf), half_slots)
+        vb_w = jnp.take_along_axis(vb_w, idxB[:, :, None], axis=1)
+        dB = jnp.take_along_axis(dB, idxB, axis=1)
+        nB_w = jnp.take_along_axis(nB_w, idxB[:, :, None], axis=1)
+        validB = jnp.take_along_axis(validB, idxB, axis=1)
 
     # contact normal convention: from geom2's body toward geom1's body.
     # A-vertex in B: create_contact(cgA, cgB, v, n) with n = B's outward
@@ -478,7 +499,8 @@ def _verts_heightmap(scene, pos, quat_b, pairs, nslots):
     hm_idx = scene.geom_params[gb, 0].astype(jnp.int32)
     rows = scene.geom_params[gb, 2].astype(jnp.int32)
     cols = scene.geom_params[gb, 3].astype(jnp.int32)
-    verts = scene.geom_verts[ga][:, :nslots]
+    verts = scene.geom_verts[ga]
+    V = verts.shape[1]
     nv = scene.geom_nverts[ga]
     vw = sp[:, None, :] + quat.rotate(sq[:, None, :], verts)
     vl = quat.inverse_rotate(hq[:, None, :], vw - hp[:, None, :])
@@ -488,13 +510,18 @@ def _verts_heightmap(scene, pos, quat_b, pairs, nslots):
     n_local = jnp.stack([-gx, jnp.ones_like(gx), -gz], axis=-1)
     n_local = n_local / jnp.linalg.norm(n_local, axis=-1, keepdims=True)
     y = vl[:, :, 1] - h
-    valid = jnp.arange(nslots)[None, :] < nv[:, None]
+    valid = jnp.arange(V)[None, :] < nv[:, None]
     sdist = jnp.where(valid, y, jnp.inf)
     dist = jnp.min(sdist, axis=1)
     n = quat.rotate(hq[:, None, :], n_local)
     imin = jnp.argmin(sdist, axis=1)
     pmin = jnp.take_along_axis(vw, imin[:, None, None], axis=1)[:, 0]
     nmin = jnp.take_along_axis(n, imin[:, None, None], axis=1)[:, 0]
+    if nslots < V:
+        idx, _ = _topk_slots(sdist, nslots)   # deepest nslots vertices
+        vw = jnp.take_along_axis(vw, idx[:, :, None], axis=1)
+        n = jnp.take_along_axis(n, idx[:, :, None], axis=1)
+        sdist = jnp.take_along_axis(sdist, idx, axis=1)
     return dist, pmin, pmin - nmin * dist[:, None], vw, n, sdist
 
 
@@ -790,6 +817,7 @@ def _trimesh_convex(scene, pos, quat_b, pairs, nslots):
     half = scene.geom_params[gb, :3]
     vw, vvalid, tv, fvalid = _mesh_world_tris(scene, pos, quat_b, ga)
     nv = vw.shape[1]
+    nsl_v = nslots - 8   # vertex slots (cap); the other 8 are box corners
 
     # --- mesh vertices vs box SDF
     cl = quat.inverse_rotate(bq[:, None, :], vw - bp[:, None, :])
@@ -817,20 +845,29 @@ def _trimesh_convex(scene, pos, quat_b, pairs, nslots):
     pts_c = cw
     sd_c = jnp.where(jnp.isfinite(sd_c), sd_c, jnp.inf)
 
+    # closest points for the conservative-advancement direction: on the mesh
+    # (pa) and on the box (pb) — part A pairs (mesh vertex, box surface),
+    # part B pairs (mesh surface, box corner); computed over the FULL vertex
+    # set before any slot capping
+    surf_w = bp[:, None, :] + quat.rotate(bq[:, None, :], _surf)
+    sdist_full = jnp.concatenate([sd_v, sd_c], axis=1)
+    pa_all = jnp.concatenate([vw, q_c], axis=1)
+    pb_all = jnp.concatenate([surf_w, cw], axis=1)
+    dist = jnp.min(sdist_full, axis=-1)
+    imin = jnp.argmin(sdist_full, axis=-1)
+    pa = jnp.take_along_axis(pa_all, imin[:, None, None], axis=1)[:, 0, :]
+    pb = jnp.take_along_axis(pb_all, imin[:, None, None], axis=1)[:, 0, :]
+
+    if nsl_v < nv:
+        # slot cap: deepest nsl_v mesh vertices
+        idx, _ = _topk_slots(sd_v, nsl_v)
+        pts_v = jnp.take_along_axis(pts_v, idx[:, :, None], axis=1)
+        n_v = jnp.take_along_axis(n_v, idx[:, :, None], axis=1)
+        sd_v = jnp.take_along_axis(sd_v, idx, axis=1)
+
     pts = jnp.concatenate([pts_v, pts_c], axis=1)
     nrm = jnp.concatenate([n_v, n_c], axis=1)
     sdist = jnp.concatenate([sd_v, sd_c], axis=1)
-
-    # closest points for the conservative-advancement direction: on the mesh
-    # (pa) and on the box (pb) — part A pairs (mesh vertex, box surface),
-    # part B pairs (mesh surface, box corner)
-    surf_w = bp[:, None, :] + quat.rotate(bq[:, None, :], _surf)
-    pa_all = jnp.concatenate([vw, q_c], axis=1)
-    pb_all = jnp.concatenate([surf_w, cw], axis=1)
-    dist = jnp.min(sdist, axis=-1)
-    imin = jnp.argmin(sdist, axis=-1)
-    pa = jnp.take_along_axis(pa_all, imin[:, None, None], axis=1)[:, 0, :]
-    pb = jnp.take_along_axis(pb_all, imin[:, None, None], axis=1)[:, 0, :]
     return dist, pa, pb, pts, nrm, sdist
 
 
@@ -1023,18 +1060,20 @@ def plane_generic_sweep_bound(scene: sc.Scene, pt, near_zero):
         if kind != sc.K_PLANE_GENERIC or len(grp["pairs"]) == 0:
             continue
         pairs = grp["pairs"]
-        nslots = grp["nslots"]
         ga = scene.pair_g1[pairs]   # plane
         gb = scene.pair_g2[pairs]   # vertex solid
         pp, pq = geom_world_pose(scene, pt.pos, pt.quat, ga)
         sp, sq = geom_world_pose(scene, pt.pos, pt.quat, gb)
         up = quat.rotate(pq, jnp.array([0.0, 1.0, 0.0], dtype=dtype))
-        verts = scene.geom_verts[gb][:, :nslots]
+        # the CA bound sweeps ALL vertices (independent of the contact-slot
+        # cap: any vertex can reach the plane)
+        verts = scene.geom_verts[gb]
+        V = verts.shape[1]
         nv = scene.geom_nverts[gb]
         vw = sp[:, None, :] + quat.rotate(sq[:, None, :], verts)
         y = jnp.sum((vw - pp[:, None, :]) * up[:, None, :], axis=-1)
         # ignore vertices already at the plane (reference: dist < NEAR_ZERO)
-        valid = (jnp.arange(nslots)[None, :] < nv[:, None]) & (y >= near_zero)
+        valid = (jnp.arange(V)[None, :] < nv[:, None]) & (y >= near_zero)
 
         s1 = scene.geom_slot[ga]
         s2 = scene.geom_slot[gb]

@@ -155,6 +155,40 @@ def gather_triangles(verts_w, faces, ):
     return jax.vmap(lambda v, f: v[f])(verts_w, faces)
 
 
+# face-axis tile size: below this the (N, F) product materializes whole;
+# above, a lax.scan over face tiles bounds the working set to (N, CHUNK)
+# while keeping the identical closest-face result (the TPU-native stand-in
+# for the reference's BVH descent, TriangleMeshPrimitive::get_BVH_root)
+FACE_CHUNK = 256
+
+
+def _closest_face_block(points, tv, valid_f):
+    """Min over one face block: (dmin (P, N), qmin, nmin) — unsigned."""
+    a = tv[:, None, :, 0, :]   # (P, 1, Fc, 3)
+    b = tv[:, None, :, 1, :]
+    c = tv[:, None, :, 2, :]
+    p = points[:, :, None, :]  # (P, N, 1, 3)
+    q = closest_point_triangle(p, a, b, c)       # (P, N, Fc, 3)
+    d = jnp.linalg.norm(p - q, axis=-1)          # (P, N, Fc)
+
+    nrm = jnp.cross(tv[:, :, 1, :] - tv[:, :, 0, :],
+                    tv[:, :, 2, :] - tv[:, :, 0, :])   # (P, Fc, 3)
+    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    degenerate = nlen[..., 0] < 1e-20
+    nrm = nrm / jnp.maximum(nlen, 1e-30)
+
+    valid = valid_f & ~degenerate                # (P, Fc)
+    dv = jnp.where(valid[:, None, :], d, jnp.inf)
+    imin = jnp.argmin(dv, axis=-1)               # (P, N)
+    qmin = jnp.take_along_axis(q, imin[:, :, None, None], axis=2)[:, :, 0, :]
+    nmin = jnp.take_along_axis(
+        jnp.broadcast_to(nrm[:, None, :, :], q.shape),
+        imin[:, :, None, None], axis=2,
+    )[:, :, 0, :]
+    dmin = jnp.take_along_axis(dv, imin[:, :, None], axis=2)[:, :, 0]
+    return dmin, qmin, nmin
+
+
 def points_vs_mesh(points, tv, face_valid):
     """Signed distance of query points to a watertight outward-oriented mesh.
 
@@ -164,32 +198,43 @@ def points_vs_mesh(points, tv, face_valid):
 
     Sign: positive outside, negative inside, decided by the closest face's
     outward normal (shallow-penetration regime — the same convention as the
-    reference's `TriangleMeshPrimitive::calc_signed_dist`).
+    reference's `TriangleMeshPrimitive::calc_signed_dist`). Meshes beyond
+    FACE_CHUNK faces stream through a face-tiled scan so the (N, F) product
+    never materializes (memory O(N·FACE_CHUNK), compute unchanged).
     """
     dtype = points.dtype
-    a = tv[:, None, :, 0, :]   # (P, 1, F, 3)
-    b = tv[:, None, :, 1, :]
-    c = tv[:, None, :, 2, :]
-    p = points[:, :, None, :]  # (P, N, 1, 3)
-    q = closest_point_triangle(p, a, b, c)       # (P, N, F, 3)
-    d = jnp.linalg.norm(p - q, axis=-1)          # (P, N, F)
+    F = tv.shape[1]
+    if F <= FACE_CHUNK:
+        dmin, qmin, nmin = _closest_face_block(points, tv, face_valid)
+    else:
+        nch = -(-F // FACE_CHUNK)
+        pad = nch * FACE_CHUNK - F
+        tv_p = jnp.pad(tv, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        fv_p = jnp.pad(face_valid, ((0, 0), (0, pad)))
+        P, N = points.shape[:2]
+        tv_c = tv_p.reshape(P, nch, FACE_CHUNK, 3, 3)
+        fv_c = fv_p.reshape(P, nch, FACE_CHUNK)
 
-    nrm = jnp.cross(tv[:, :, 1, :] - tv[:, :, 0, :],
-                    tv[:, :, 2, :] - tv[:, :, 0, :])   # (P, F, 3)
-    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
-    degenerate = nlen[..., 0] < 1e-20
-    nrm = nrm / jnp.maximum(nlen, 1e-30)
+        def body(carry, inp):
+            dmin, qmin, nmin = carry
+            tvc, fvc = inp
+            d2, q2, n2 = _closest_face_block(points, tvc, fvc)
+            better = d2 < dmin
+            return (
+                jnp.where(better, d2, dmin),
+                jnp.where(better[..., None], q2, qmin),
+                jnp.where(better[..., None], n2, nmin),
+            ), None
 
-    valid = face_valid & ~degenerate             # (P, F)
-    dv = jnp.where(valid[:, None, :], d, jnp.inf)
-    imin = jnp.argmin(dv, axis=-1)               # (P, N)
-
-    qmin = jnp.take_along_axis(q, imin[:, :, None, None], axis=2)[:, :, 0, :]
-    nmin = jnp.take_along_axis(
-        jnp.broadcast_to(nrm[:, None, :, :], q.shape),
-        imin[:, :, None, None], axis=2,
-    )[:, :, 0, :]
-    dmin = jnp.take_along_axis(dv, imin[:, :, None], axis=2)[:, :, 0]
+        init = (
+            jnp.full((P, N), jnp.inf, dtype),
+            jnp.zeros((P, N, 3), dtype),
+            jnp.zeros((P, N, 3), dtype),
+        )
+        (dmin, qmin, nmin), _ = jax.lax.scan(
+            body, init,
+            (jnp.swapaxes(tv_c, 0, 1), jnp.swapaxes(fv_c, 0, 1)),
+        )
 
     s = jnp.sign(jnp.sum((points - qmin) * nmin, axis=-1))
     s = jnp.where(s == 0, 1.0, s).astype(dtype)

@@ -32,17 +32,34 @@ def _pose(el):
 
 
 def load_obj_vertices(path: str, max_verts: int = 64) -> np.ndarray:
-    """Vertices of an OBJ mesh, decimated to at most max_verts by farthest-
-    point sampling (contact generation needs the hull extremes, not density)."""
+    """Vertices of an OBJ mesh for a POLYHEDRON (convex-cloud) collision
+    geometry. Interior vertices are dropped exactly (convex hull — they
+    never generate contacts); if the HULL still exceeds max_verts the cloud
+    is farthest-point decimated with a loud warning (lossy: the reference
+    keeps the full mesh and walks a BVH)."""
     verts = []
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
                 verts.append([float(x) for x in line.split()[1:4]])
     v = np.array(verts)
+    if len(v) > max_verts:
+        # exact reduction first: hull vertices only
+        try:
+            from .. import native
+
+            hv, _ = native.convex_hull(v)
+            v = hv
+        except ValueError:
+            pass
     if len(v) <= max_verts:
         return v
-    # farthest-point decimation
+    import warnings
+
+    warnings.warn(
+        f"{path}: convex hull has {len(v)} vertices > max_verts="
+        f"{max_verts}; farthest-point decimating (lossy collision shape)"
+    )
     keep = [int(np.argmax(np.linalg.norm(v - v.mean(0), axis=1)))]
     d = np.linalg.norm(v - v[keep[0]], axis=1)
     for _ in range(max_verts - 1):

@@ -83,3 +83,26 @@ class TestUR10:
         ee_f = np.asarray(ee_pos_of(res.xs[-1][:nq]))
         err = np.linalg.norm(ee_f - np.asarray(target))
         assert err < 0.05, f"reach error {err:.3f} m"
+
+
+class TestUR10XMLScene:
+    def test_full_xml_scene_loads(self):
+        """The reference's full ur10.xml (arm via the <SDF> embed tag + the
+        free block + DisabledPairs + mu=100 ContactParameters) compiles and
+        produces sane narrow-phase output at the initial pose."""
+        from moby_tpu.io import mobyxml
+        from moby_tpu.sim import kinematics
+        from moby_tpu.geometry import narrowphase as nph
+
+        scene, st, opts = mobyxml.load(
+            "/root/reference/example/ur10/ur10.xml"
+        )
+        assert scene.nb == 1                      # the block
+        assert scene.nv_art == 9                  # arm + gripper dofs
+        assert scene.use_noslip                   # mu-coulomb = 100
+        assert scene.n_pairs > 0
+        pt = kinematics.compute(scene, st)
+        pd, con = nph.narrow_phase(
+            scene, pt.pos, pt.quat, scene.contact_dist_thresh
+        )
+        assert np.all(np.isfinite(np.asarray(pd.dist)))
