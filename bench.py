@@ -226,7 +226,8 @@ def bench_ur10_mpc():
         return 500.0 * jnp.sum((ee - target) ** 2) + jnp.sum(qd ** 2)
 
     H = 50
-    B = int(os.environ.get("MOBY_BENCH_UR10_B", "128"))
+    # batch by measurement (round 3): 128 -> 11.97/s, 256 -> 13.49/s
+    B = int(os.environ.get("MOBY_BENCH_UR10_B", "256"))
     n_iters = 4
     prob = contact_mpc.MPCProblem(scene=scene, template=st, dt=0.01,
                                   horizon=H)

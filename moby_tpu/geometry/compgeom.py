@@ -143,3 +143,143 @@ def triangulate_polygon(poly) -> np.ndarray:
             raise ValueError("polygon is not simple (no ear found)")
     tris.append(tuple(idx))
     return np.array(tris, np.int64)
+
+
+# --------------------------------------------------------------- 3D subset
+# The reference's CompGeom 3D entry points beyond hulls
+# (src/CompGeom.cpp: coplanarity tests, segment/triangle intersection,
+# triangle/triangle intersection, 3D polygon clipping & intersection of
+# coplanar polygons). Build-time numpy, same as the 2D subset above.
+
+def coplanar(points, tol: float = 1e-8) -> bool:
+    """True when all points lie in one plane (CompGeom::coplanar)."""
+    pts = np.asarray(points, np.float64)
+    if len(pts) <= 3:
+        return True
+    c = pts.mean(axis=0)
+    # smallest singular value of the centered cloud = distance scale off
+    # the best plane
+    s = np.linalg.svd(pts - c, compute_uv=False)
+    scale = max(s[0], 1.0)
+    return bool(s[-1] <= tol * scale)
+
+
+def segment_triangle_intersection(p, q, a, b, c, tol: float = 1e-12):
+    """Intersection of segment [p, q] with triangle (a, b, c)
+    (CompGeom::intersect_seg_tri). Returns the intersection point (3,) or
+    None. Segments in the triangle's plane are rejected (degenerate case —
+    the reference routes those to its coplanar-segment logic)."""
+    p = np.asarray(p, np.float64)
+    q = np.asarray(q, np.float64)
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    c = np.asarray(c, np.float64)
+    ab = b - a
+    ac = c - a
+    n = np.cross(ab, ac)
+    d = q - p
+    denom = -np.dot(d, n)
+    if abs(denom) <= tol * max(np.linalg.norm(n), 1.0):
+        return None  # parallel / coplanar
+    ap = p - a
+    t = np.dot(ap, n) / denom
+    if t < -tol or t > 1.0 + tol:
+        return None
+    # barycentric via scalar triple products
+    e = np.cross(-d, ap)
+    v = np.dot(ac, e) / denom
+    w = -np.dot(ab, e) / denom
+    if v < -tol or w < -tol or v + w > 1.0 + tol:
+        return None
+    return p + np.clip(t, 0.0, 1.0) * d
+
+
+def triangles_intersect(t1, t2, tol: float = 1e-12) -> bool:
+    """True when triangles t1, t2 ((3, 3) each) intersect
+    (CompGeom::query_intersect_tri_tri): edge-vs-triangle tests both ways
+    plus the containment case."""
+    t1 = np.asarray(t1, np.float64)
+    t2 = np.asarray(t2, np.float64)
+    for (tri_a, tri_b) in ((t1, t2), (t2, t1)):
+        for i in range(3):
+            p, q = tri_a[i], tri_a[(i + 1) % 3]
+            if segment_triangle_intersection(
+                p, q, tri_b[0], tri_b[1], tri_b[2], tol
+            ) is not None:
+                return True
+    # containment (coplanar overlap without edge crossings): test a vertex
+    # of each inside the other after projecting to the shared plane
+    n = np.cross(t1[1] - t1[0], t1[2] - t1[0])
+    nl = np.linalg.norm(n)
+    if nl > tol:
+        n = n / nl
+        d2 = (t2 - t1[0]) @ n
+        if np.max(np.abs(d2)) <= 1e-9:
+            ax = _plane_axes(n)
+            poly1 = (t1 - t1[0]) @ ax.T
+            poly2 = (t2 - t1[0]) @ ax.T
+            if point_in_polygon(poly2[0], poly1) or point_in_polygon(
+                poly1[0], poly2
+            ):
+                return True
+    return False
+
+
+def _plane_axes(n) -> np.ndarray:
+    """(2, 3) orthonormal in-plane axes for unit normal n."""
+    ref = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else np.array(
+        [0.0, 1.0, 0.0]
+    )
+    t1 = np.cross(n, ref)
+    t1 /= np.linalg.norm(t1)
+    t2 = np.cross(n, t1)
+    return np.stack([t1, t2])
+
+
+def clip_polygon_halfspace(poly, n, d, tol: float = 1e-12) -> np.ndarray:
+    """Clip a 3D polygon ((N, 3), in order) against the halfspace
+    n·x <= d (one Sutherland–Hodgman step; the primitive under
+    CompGeom's polygon intersection)."""
+    poly = np.asarray(poly, np.float64)
+    n = np.asarray(n, np.float64)
+    out = []
+    N = len(poly)
+    for i in range(N):
+        cur, nxt = poly[i], poly[(i + 1) % N]
+        dc = np.dot(n, cur) - d
+        dn = np.dot(n, nxt) - d
+        if dc <= tol:
+            out.append(cur)
+        if (dc <= tol) != (dn <= tol) and abs(dn - dc) > tol:
+            t = dc / (dc - dn)
+            out.append(cur + t * (nxt - cur))
+    return np.asarray(out).reshape(-1, 3)
+
+
+def intersect_coplanar_polygons(P, Q, tol: float = 1e-9) -> np.ndarray:
+    """Intersection of two convex coplanar 3D polygons (vertices in order):
+    the reference's CompGeom::intersect_polygons. Returns the intersection
+    polygon ((M, 3), possibly empty). Q is clipped against P's edge
+    halfspaces in P's plane."""
+    P = np.asarray(P, np.float64)
+    Q = np.asarray(Q, np.float64)
+    n = np.cross(P[1] - P[0], P[2] - P[0])
+    nl = np.linalg.norm(n)
+    if nl < tol:
+        return np.zeros((0, 3))
+    n = n / nl
+    # ensure P is CCW as seen along +n
+    ax = _plane_axes(n)
+    p2 = (P - P[0]) @ ax.T
+    if polygon_area(p2) < 0:
+        P = P[::-1]
+    out = Q
+    NP_ = len(P)
+    for i in range(NP_):
+        if len(out) == 0:
+            break
+        a, b = P[i], P[(i + 1) % NP_]
+        edge_n = np.cross(n, b - a)   # inward normal of edge halfspace
+        # keep x with edge_n·(x - a) >= 0  <=>  (-edge_n)·x <= -edge_n·a
+        out = clip_polygon_halfspace(out, -edge_n, -np.dot(edge_n, a))
+    return out

@@ -62,3 +62,69 @@ class TestTriangulation:
         v, f = tm.extrude_polygon(poly, 0, 1, apex=0)
         vol, _, _, _ = tm.mesh_mass_properties(v, f)
         assert abs(area - vol) < 1e-12
+
+
+class Test3DSubset:
+    """The 3D CompGeom entry points (reference src/CompGeom.cpp beyond
+    hulls): coplanarity, segment/triangle + triangle/triangle intersection,
+    3D polygon clipping / coplanar-polygon intersection."""
+
+    def test_coplanar(self):
+        sq = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+        assert cg.coplanar(sq)
+        assert not cg.coplanar(np.vstack([sq, [0.5, 0.5, 0.3]]))
+        # tilted plane
+        R = np.array([[1, 0, 0], [0, 0.8, -0.6], [0, 0.6, 0.8]])
+        assert cg.coplanar(sq @ R.T)
+
+    def test_segment_triangle(self):
+        a, b, c = np.eye(3, 3) * 0 + np.array(
+            [[0, 0, 0], [2, 0, 0], [0, 2, 0]], float)
+        # crossing segment
+        p = cg.segment_triangle_intersection(
+            [0.5, 0.5, -1], [0.5, 0.5, 1], a, b, c)
+        np.testing.assert_allclose(p, [0.5, 0.5, 0.0], atol=1e-12)
+        # missing segment
+        assert cg.segment_triangle_intersection(
+            [3, 3, -1], [3, 3, 1], a, b, c) is None
+        # parallel segment
+        assert cg.segment_triangle_intersection(
+            [0.1, 0.1, 1], [0.5, 0.5, 1], a, b, c) is None
+        # stops short of the plane
+        assert cg.segment_triangle_intersection(
+            [0.5, 0.5, -2], [0.5, 0.5, -1], a, b, c) is None
+
+    def test_triangles_intersect(self):
+        t1 = np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0]], float)
+        # crossing through t1's plane
+        t2 = np.array([[0.5, 0.5, -1], [0.5, 0.5, 1], [1.5, 0.5, 0.5]],
+                      float)
+        assert cg.triangles_intersect(t1, t2)
+        # far away
+        t3 = t2 + np.array([10.0, 0, 0])
+        assert not cg.triangles_intersect(t1, t3)
+        # coplanar containment (small triangle inside big one)
+        t4 = np.array([[0.2, 0.2, 0], [0.6, 0.2, 0], [0.2, 0.6, 0]], float)
+        assert cg.triangles_intersect(t1, t4)
+
+    def test_clip_polygon_halfspace(self):
+        sq = np.array([[0, 0, 0], [2, 0, 0], [2, 2, 0], [0, 2, 0]], float)
+        out = cg.clip_polygon_halfspace(sq, np.array([1.0, 0, 0]), 1.0)
+        # clipped to x <= 1: a 1x2 rectangle
+        assert abs(cg.polygon_area(out[:, :2])) - 2.0 < 1e-9
+        assert out[:, 0].max() <= 1.0 + 1e-12
+
+    def test_intersect_coplanar_polygons(self):
+        P = np.array([[0, 0, 0], [2, 0, 0], [2, 2, 0], [0, 2, 0]], float)
+        Q = P + np.array([1.0, 1.0, 0.0])
+        out = cg.intersect_coplanar_polygons(P, Q)
+        # unit square overlap
+        assert abs(abs(cg.polygon_area(out[:, :2])) - 1.0) < 1e-9
+        # disjoint
+        out2 = cg.intersect_coplanar_polygons(P, P + np.array([5.0, 0, 0]))
+        assert len(out2) == 0
+        # works in a tilted plane too
+        R = np.array([[1, 0, 0], [0, 0.8, -0.6], [0, 0.6, 0.8]])
+        out3 = cg.intersect_coplanar_polygons(P @ R.T, Q @ R.T)
+        c3 = out3 @ R  # rotate back
+        assert abs(abs(cg.polygon_area(c3[:, :2])) - 1.0) < 1e-9
