@@ -201,9 +201,9 @@ def bench_ur10_mpc():
         l.name for l in scene.arts[0].model.links
     ].index("wrist_3_link")
     nq = scene.nq_art
-    # packed-state layout: 13 values per free body (the inert ground), then
-    # q_art, qd_art
-    o_q = 13 * scene.nb
+    # packed-state layout: 13 values per ENABLED free body (the ground is
+    # disabled and excluded), then q_art, qd_art
+    o_q = 13 * int(np.asarray(scene.enabled).sum())
 
     def ee_pos_of(q_art):
         s = st.replace(q_art=q_art)
@@ -236,9 +236,10 @@ def bench_ur10_mpc():
         scene.arts[0].model, st.q_art, jnp.zeros(nq), jnp.zeros(nq),
         scene.gravity,
     )
-    # controls span the FULL gc vector (wrenches on free bodies + joint
-    # torques); warm start = gravity hold on the arm dofs
-    us0 = jnp.zeros((H, scene.ngc), st.pos.dtype).at[:, 6 * scene.nb :].set(
+    # controls span enabled bodies' wrenches + joint torques
+    # (contact_mpc.n_controls); warm start = gravity hold on the arm dofs
+    nu = contact_mpc.n_controls(scene)
+    us0 = jnp.zeros((H, nu), st.pos.dtype).at[:, nu - nq :].set(
         tau_hold[None, :]
     )
 

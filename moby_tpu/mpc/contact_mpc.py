@@ -3,12 +3,19 @@
 `make_dynamics` closes a compiled Scene over `diffstep.dstep` as a pure
 vector-space dynamics f(x, u); `solve` runs iLQR for one scenario; batches of
 scenarios vmap/shard over the leading axis (parallel.mesh helpers).
+
+The optimization state covers ENABLED bodies only: disabled bodies (ground
+planes, fixtures) are constants of the scene, so packing them would double
+nx/nu with dead coordinates — for the 1-ball benchmark scene that halves the
+Riccati dimension and the number of dstep pullbacks per linearization.
+Their state comes from the template at unpack.
 """
 
 from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -16,31 +23,61 @@ from ..core import scene as sc
 from . import diffstep, ilqr
 
 
+def _enabled_idx(scene: sc.Scene) -> np.ndarray:
+    """Static indices of the enabled (dynamic) free bodies."""
+    return np.nonzero(np.asarray(scene.enabled))[0]
+
+
+def n_controls(scene: sc.Scene) -> int:
+    """Control dimension: wrenches on enabled free bodies + joint forces."""
+    return 6 * len(_enabled_idx(scene)) + scene.nv_art
+
+
 def state_sizes(scene: sc.Scene):
-    nb = scene.nb
-    return (3 * nb, 4 * nb, 3 * nb, 3 * nb, scene.nq_art, scene.nv_art)
+    ne = len(_enabled_idx(scene))
+    return (3 * ne, 4 * ne, 3 * ne, 3 * ne, scene.nq_art, scene.nv_art)
 
 
 def pack(scene: sc.Scene, st: sc.State):
+    idx = _enabled_idx(scene)
     parts = []
-    if scene.nb:
-        parts += [st.pos.ravel(), st.quat.ravel(), st.vel.ravel(), st.omega.ravel()]
+    if len(idx):
+        parts += [
+            st.pos[idx].ravel(), st.quat[idx].ravel(),
+            st.vel[idx].ravel(), st.omega[idx].ravel(),
+        ]
     parts += [st.q_art, st.qd_art]
     return jnp.concatenate(parts)
 
 
-def unpack(scene: sc.Scene, template: sc.State, x):
+def _merge_bodies(scene, template_arr, idx, new_vals):
+    """Replace rows `idx` of template_arr with new_vals via a static
+    concat+permutation gather (no scatter on the hot path)."""
     nb = scene.nb
+    if len(idx) == nb:
+        return new_vals
+    other = np.setdiff1d(np.arange(nb), idx)
+    perm = np.argsort(np.concatenate([idx, other]))
+    return jnp.concatenate([new_vals, template_arr[other]], axis=0)[perm]
+
+
+def unpack(scene: sc.Scene, template: sc.State, x):
+    idx = _enabled_idx(scene)
+    ne = len(idx)
     o = 0
     st = template
-    if nb:
+    if ne:
+        pos = x[o : o + 3 * ne].reshape(ne, 3)
+        quat = x[o + 3 * ne : o + 7 * ne].reshape(ne, 4)
+        vel = x[o + 7 * ne : o + 10 * ne].reshape(ne, 3)
+        omega = x[o + 10 * ne : o + 13 * ne].reshape(ne, 3)
         st = st.replace(
-            pos=x[o : o + 3 * nb].reshape(nb, 3),
-            quat=x[o + 3 * nb : o + 7 * nb].reshape(nb, 4),
-            vel=x[o + 7 * nb : o + 10 * nb].reshape(nb, 3),
-            omega=x[o + 10 * nb : o + 13 * nb].reshape(nb, 3),
+            pos=_merge_bodies(scene, template.pos, idx, pos),
+            quat=_merge_bodies(scene, template.quat, idx, quat),
+            vel=_merge_bodies(scene, template.vel, idx, vel),
+            omega=_merge_bodies(scene, template.omega, idx, omega),
         )
-        o += 13 * nb
+        o += 13 * ne
     if scene.nq_art:
         st = st.replace(q_art=x[o : o + scene.nq_art])
         o += scene.nq_art
@@ -53,16 +90,33 @@ def make_dynamics(scene: sc.Scene, template: sc.State, dt) -> Callable:
     """f(x_vec, u) -> x_vec' through the differentiable contact step.
 
     The LCP warm-start bookkeeping is pinned (cold start) so x fully
-    determines the next state.
+    determines the next state. u spans enabled bodies' wrenches + joint
+    forces (`n_controls`); disabled gc columns receive zero.
     """
     cold = template.replace(
         zlast=jnp.zeros_like(template.zlast),
         zlast_active=jnp.zeros_like(template.zlast_active),
     )
+    idx = _enabled_idx(scene)
+    gc_cols = np.concatenate(
+        [6 * i + np.arange(6) for i in idx]
+        + [6 * scene.nb + np.arange(scene.nv_art)]
+    ).astype(np.int64) if (len(idx) or scene.nv_art) else np.zeros(0, np.int64)
+    full = len(gc_cols) == scene.ngc
+    if not full:
+        # static expansion permutation: u_full = concat(u, 0)[perm]
+        other = np.setdiff1d(np.arange(scene.ngc), gc_cols)
+        perm = np.argsort(np.concatenate([gc_cols, other]))
 
     def f(x, u):
         st = unpack(scene, cold, x)
-        st2 = diffstep.dstep(scene, st, dt, u)
+        if full:
+            u_full = u
+        else:
+            u_full = jnp.concatenate(
+                [u, jnp.zeros(scene.ngc - len(gc_cols), u.dtype)]
+            )[perm]
+        st2 = diffstep.dstep(scene, st, dt, u_full)
         return pack(scene, st2)
 
     return f
@@ -92,7 +146,7 @@ def solve(
     scene = prob.scene
     f = make_dynamics(scene, prob.template, prob.dt)
     x0 = pack(scene, st)
-    nu = scene.ngc
+    nu = n_controls(scene)
     us0 = (
         us0
         if us0 is not None
@@ -119,7 +173,7 @@ def solve_batch(
     scene = prob.scene
     f = make_dynamics(scene, prob.template, prob.dt)
     x0s = jax.vmap(lambda s: pack(scene, s))(states)
-    nu = scene.ngc
+    nu = n_controls(scene)
     us0 = (
         us0
         if us0 is not None
