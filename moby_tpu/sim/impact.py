@@ -199,10 +199,18 @@ def gc_inv_inertia(scene: sc.Scene, st, quat_b):
             ],
             axis=-2,
         )  # (nb, 6, 6)
-        # block-diagonal placement as one fused einsum (per-body scatter
-        # .at[].set ops showed up as real device time in the MPC profile)
-        eye_nb = jnp.eye(nb, dtype=dtype)
-        free = jnp.einsum("bij,bc->bicj", blk, eye_nb).reshape(6 * nb, 6 * nb)
+        # block-diagonal placement by pad+concat (per-body scatter .at[].set
+        # ops and the einsum-with-identity alternative both showed up as
+        # real device time in the MPC profile — the einsum's VJP cost 4 ms
+        # per sweep; pad/concat transpose to cheap slices)
+        if nb == 1:
+            free = blk[0]
+        else:
+            rows = [
+                jnp.pad(blk[b], ((0, 0), (6 * b, 6 * (nb - 1 - b))))
+                for b in range(nb)
+            ]
+            free = jnp.concatenate(rows, axis=0)
         if ngc == 6 * nb:
             return free
         Minv = jnp.zeros((ngc, ngc), dtype).at[: 6 * nb, : 6 * nb].set(free)
