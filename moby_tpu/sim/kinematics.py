@@ -58,20 +58,15 @@ def compute(scene: sc.Scene, st: sc.State) -> PoseTable:
             W=_free_body_W(scene, dtype),
         )
 
-    pos = jnp.zeros((ns, 3), dtype)
-    quat_t = jnp.zeros((ns, 4), dtype).at[:, 3].set(1.0)
-    vel = jnp.zeros((ns, 3), dtype)
-    omega = jnp.zeros((ns, 3), dtype)
-    W = jnp.zeros((ns, 6, ngc), dtype)
+    # slot tables assemble by concatenation (free bodies, then each AB's
+    # links in slot order) — per-slot .at[s].set writes were real
+    # dynamic-update-slice device time in the articulated MPC profile
+    pos_parts = [st.pos] if nb else []
+    quat_parts = [st.quat] if nb else []
+    vel_parts = [st.vel] if nb else []
+    omega_parts = [st.omega] if nb else []
+    W_parts = [_free_body_W(scene, dtype)] if nb else []
 
-    if nb:
-        pos = pos.at[:nb].set(st.pos)
-        quat_t = quat_t.at[:nb].set(st.quat)
-        vel = vel.at[:nb].set(st.vel)
-        omega = omega.at[:nb].set(st.omega)
-        W = W.at[:nb].set(_free_body_W(scene, dtype))
-
-    slot0 = nb
     for ent in scene.arts:
         m: amdl.ArticulatedModel = ent.model
         q = st.q_art[ent.q_off : ent.q_off + m.nq]
@@ -114,16 +109,25 @@ def compute(scene: sc.Scene, st: sc.State) -> PoseTable:
             vs.append(sv[:3])
             ws.append(sv[3:])
 
-        for i in range(m.nl):
-            s = slot0 + i
-            pos = pos.at[s].set(ps[i])
-            quat_t = quat_t.at[s].set(quat.from_matrix(Rs[i]))
-            vel = vel.at[s].set(vs[i])
-            omega = omega.at[s].set(ws[i])
-            W = W.at[s, :, ent.gc_off : ent.gc_off + m.nv].set(Wl[i])
-        slot0 += m.nl
+        pos_parts.append(jnp.stack(ps))
+        quat_parts.append(jnp.stack([quat.from_matrix(R) for R in Rs]))
+        vel_parts.append(jnp.stack(vs))
+        omega_parts.append(jnp.stack(ws))
+        W_parts.append(
+            jnp.pad(
+                jnp.stack(Wl),
+                ((0, 0), (0, 0),
+                 (ent.gc_off, ngc - ent.gc_off - m.nv)),
+            )
+        )
 
-    return PoseTable(pos=pos, quat=quat_t, vel=vel, omega=omega, W=W)
+    return PoseTable(
+        pos=jnp.concatenate(pos_parts, axis=0),
+        quat=jnp.concatenate(quat_parts, axis=0),
+        vel=jnp.concatenate(vel_parts, axis=0),
+        omega=jnp.concatenate(omega_parts, axis=0),
+        W=jnp.concatenate(W_parts, axis=0),
+    )
 
 
 def gc_velocity(scene: sc.Scene, st: sc.State):
