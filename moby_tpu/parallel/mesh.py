@@ -93,8 +93,16 @@ def sharded_mpc_sweep(prob, batched_states, cost, cost_final, mesh,
     )
 
     def local(states_shard):
-        return contact_mpc.solve_batch(
+        res = contact_mpc.solve_batch(
             prob, states_shard, cost, cost_final, us0=us0, n_iters=n_iters
+        )
+        # n_iters is declared replicated (P()) below under check_rep=False;
+        # reduce it across shards so that claim holds by construction even
+        # if the solver's iteration accounting becomes data-dependent
+        # (ADVICE r3: a per-device value would silently be whichever shard
+        # XLA picks)
+        return res._replace(
+            n_iters=jax.lax.pmax(res.n_iters, "scenario")
         )
 
     from ..mpc.ilqr import ILQRResult

@@ -1,11 +1,15 @@
-import os, glob, json, collections
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_moby")
-os.environ["MOBY_BENCH_UR10_B"] = "256"
-import jax
-import bench
+"""Profile the ur10 contact-MPC sweep on the attached TPU and print the
+device self-time breakdown by framework op (sibling of profile_mpc.py for
+the articulated BASELINE workload).
 
-# monkeypatch: capture the sweep fn by profiling around bench_ur10_mpc's timing loop
-# simpler: replicate minimal — use bench internals
+Run from the repo root: python scripts/profile_ur10.py
+"""
+
+import os, sys, glob, json, collections
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_moby")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax
+
 import numpy as np, jax.numpy as jnp
 import xml.etree.ElementTree as ET
 from moby_tpu.core import scene as sc
