@@ -122,6 +122,58 @@ def make_dynamics(scene: sc.Scene, template: sc.State, dt) -> Callable:
     return f
 
 
+def make_dynamics_rr(scene: sc.Scene, template: sc.State, dt):
+    """(f, f_record, f_replay) for the record/replay linearization path.
+
+    f_record(x, u) -> (x', z): the plain step plus the LCP solution it
+    used. f_replay(x, u, z) -> x': the identical step with the pivoting
+    solve replaced by `solve_lcp_given(z)` — same primal, same IFT
+    gradients, zero pivot iterations. The iLQR backward pass linearizes at
+    rollout states, so replaying the rollout's own z there removes every
+    BPP while-loop from the (dispatch-bound) backward sweep.
+
+    Returns (f, None, None) when the scene has no single-solve guarantee
+    (`diffstep.replay_ok`) or no contacts at all.
+    """
+    f = make_dynamics(scene, template, dt)
+    has_lcp = bool(scene.n_contacts or scene.n_limits)
+    if not has_lcp or not diffstep.replay_ok(scene):
+        return f, None, None
+
+    cold = template.replace(
+        zlast=jnp.zeros_like(template.zlast),
+        zlast_active=jnp.zeros_like(template.zlast_active),
+    )
+    idx = _enabled_idx(scene)
+    gc_cols = np.concatenate(
+        [6 * i + np.arange(6) for i in idx]
+        + [6 * scene.nb + np.arange(scene.nv_art)]
+    ).astype(np.int64) if (len(idx) or scene.nv_art) else np.zeros(0, np.int64)
+    full = len(gc_cols) == scene.ngc
+    if not full:
+        other = np.setdiff1d(np.arange(scene.ngc), gc_cols)
+        perm = np.argsort(np.concatenate([gc_cols, other]))
+
+    def expand(u):
+        if full:
+            return u
+        return jnp.concatenate(
+            [u, jnp.zeros(scene.ngc - len(gc_cols), u.dtype)]
+        )[perm]
+
+    def f_record(x, u):
+        st = unpack(scene, cold, x)
+        st2 = diffstep.dstep(scene, st, dt, expand(u))
+        return pack(scene, st2), st2.zlast
+
+    def f_replay(x, u, z):
+        st = unpack(scene, cold, x)
+        st2 = diffstep.dstep(scene, st, dt, expand(u), lcp_given=z)
+        return pack(scene, st2)
+
+    return f, f_record, f_replay
+
+
 class MPCProblem(NamedTuple):
     scene: sc.Scene
     template: sc.State
@@ -165,13 +217,24 @@ def solve_batch(
     cost_final,
     us0=None,
     n_iters: int = 10,
+    record_replay: bool = True,
+    hoist_linearization: bool = False,
 ) -> ilqr.ILQRResult:
     """Batched contact-MPC solve through `ilqr.ilqr_batched`: identical
     per-scenario semantics to `vmap(solve)` but with the batch-voted
     early-exit line search (most members accept alpha=1 near convergence,
-    so the 8-alpha lock-step fan-out is skipped when unanimous)."""
+    so the 8-alpha lock-step fan-out is skipped when unanimous).
+
+    record_replay: rollouts record their LCP solutions and the backward
+    pass replays them through the IFT pullback instead of re-running the
+    pivoting solve (identical Jacobians; see ilqr.ilqr_batched). Auto-off
+    for scenes where a step can solve twice (nonzero restitution).
+    hoist_linearization: batch all H step Jacobians in one jacrev before
+    the Riccati scan (wins for dispatch-bound articulated steps)."""
     scene = prob.scene
-    f = make_dynamics(scene, prob.template, prob.dt)
+    f, f_rec, f_rep = make_dynamics_rr(scene, prob.template, prob.dt)
+    if not record_replay:
+        f_rec = f_rep = None
     x0s = jax.vmap(lambda s: pack(scene, s))(states)
     nu = n_controls(scene)
     us0 = (
@@ -180,5 +243,7 @@ def solve_batch(
         else jnp.zeros((prob.horizon, nu), x0s.dtype)
     )
     return ilqr.ilqr_batched(
-        f, cost, cost_final, x0s, us0, n_iters=n_iters
+        f, cost, cost_final, x0s, us0, n_iters=n_iters,
+        f_record=f_rec, f_replay=f_rep,
+        hoist_linearization=hoist_linearization,
     )

@@ -24,7 +24,7 @@ from ..geometry import narrowphase as nph
 from ..math import quaternion as quat
 from ..sim import impact, kinematics
 from ..sim.stepper import forward_dynamics_free, integrate_art_q
-from ..solvers.difflcp import solve_lcp_diff_mpc
+from ..solvers.difflcp import solve_lcp_diff_mpc, solve_lcp_given
 
 
 def _diff_lcp(M, q, mask, z0, skip=None):
@@ -33,8 +33,35 @@ def _diff_lcp(M, q, mask, z0, skip=None):
     return solve_lcp_diff_mpc(M, q, mask, z0, skip), jnp.array(True)
 
 
-def dstep(scene: sc.Scene, st: sc.State, dt, u=None) -> sc.State:
-    """One differentiable step. u: optional (ngc,) generalized force."""
+def _replay_lcp(z_rec):
+    """LCP 'solver' that replays a recorded solution (same IFT gradients,
+    zero pivot iterations). Only valid for single-solve scenes (all
+    restitution zero — the gated second solve would need its own record)."""
+
+    def solver(M, q, mask, z0, skip=None):
+        return solve_lcp_given(M, q, mask, z_rec), jnp.array(True)
+
+    return solver
+
+
+def replay_ok(scene: sc.Scene) -> bool:
+    """True when a dstep performs exactly one LCP solve (the eps_all_zero
+    fast path of resolve_impacts), so record/replay linearization is exact."""
+    import numpy as np
+
+    K = scene.n_contacts
+    eps0 = K == 0 or float(np.max(np.asarray(scene.slot_eps))) == 0.0
+    lim0 = scene.n_limits == 0 or float(
+        np.max(np.asarray(scene.lim_eps))
+    ) == 0.0
+    return eps0 and lim0
+
+
+def dstep(scene: sc.Scene, st: sc.State, dt, u=None,
+          lcp_given=None) -> sc.State:
+    """One differentiable step. u: optional (ngc,) generalized force.
+    lcp_given: optional recorded LCP solution (see `_replay_lcp`); callers
+    must ensure `replay_ok(scene)`."""
     dtype = st.pos.dtype
     dt = jnp.asarray(dt, dtype)
 
@@ -83,7 +110,9 @@ def dstep(scene: sc.Scene, st: sc.State, dt, u=None) -> sc.State:
         )
         res = impact.resolve_impacts(
             scene, st2, pt, con, st.zlast, st.zlast_active,
-            lcp_solver=_diff_lcp,
+            lcp_solver=(
+                _diff_lcp if lcp_given is None else _replay_lcp(lcp_given)
+            ),
         )
         st2 = kinematics.apply_gc_velocity_delta(scene, st2, res.dv)
         st2 = st2.replace(zlast=res.zlast, zlast_active=res.zlast_active)

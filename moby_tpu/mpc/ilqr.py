@@ -225,6 +225,9 @@ def ilqr_batched(
     n_iters: int = 10,
     mu_init: float = 1e-6,
     line_search_steps: int = 8,
+    f_record: Callable | None = None,
+    f_replay: Callable | None = None,
+    hoist_linearization: bool = False,
 ) -> ILQRResult:
     """Batch-level iLQR: like vmap(ilqr) but with a batch-voted early-exit
     backtracking line search.
@@ -240,6 +243,20 @@ def ilqr_batched(
 
     f/cost/cost_final are per-scenario functions (vmapped internally);
     x0s (B, nx); us0 (B, H, nu) or (H, nu) broadcast.
+
+    Record/replay (optional): f_record(x, u) -> (x', aux) runs the same
+    step but also returns the contact-solve solution; f_replay(x, u, aux)
+    -> x' replays it with identical primal and IFT gradients but no pivot
+    loops. The backward pass then linearizes through f_replay at the
+    rollout's own solutions — removing the LCP while-loops from the
+    (dispatch-bound) backward sweep.
+
+    hoist_linearization: compute all H step Jacobians in ONE (B·H)-batched
+    jacrev before the Riccati scan instead of inside it. Turns ~H
+    sequential small pullback graphs into a handful of large batched ops —
+    a large win when the per-step graph is dispatch-bound (articulated
+    scenes); measured slower for the tiny ball-push step, so off by
+    default.
     """
     B, nx = x0s.shape
     if us0.ndim == 2:
@@ -247,11 +264,17 @@ def ilqr_batched(
     H, nu = us0.shape[1:]
     dtype = x0s.dtype
 
+    rr = f_record is not None and f_replay is not None
+
     fB = jax.vmap(f)
+    fB_rec = jax.vmap(f_record) if rr else None
     costB = jax.vmap(cost)
     cost_finalB = jax.vmap(cost_final)
 
-    fxu_fn = jax.vmap(jax.jacrev(f, argnums=(0, 1)))
+    if rr:
+        fxu_fn = jax.vmap(jax.jacrev(f_replay, argnums=(0, 1)))
+    else:
+        fxu_fn = jax.vmap(jax.jacrev(f, argnums=(0, 1)))
     cx_fn = jax.vmap(jax.grad(cost, argnums=0))
     cu_fn = jax.vmap(jax.grad(cost, argnums=1))
     cxx_fn = jax.vmap(jax.hessian(cost, argnums=0))
@@ -261,12 +284,27 @@ def ilqr_batched(
     vxx_fn = jax.vmap(jax.hessian(cost_final))
 
     def rollout(x0s_, uss):
+        """-> (xss (B,H+1,nx), zss (B,H,nz) or None)"""
+        if rr:
+            def step(x, u):
+                x2, z = fB_rec(x, u)
+                return x2, (x2, z)
+
+            _, (xs, zs) = jax.lax.scan(
+                step, x0s_, jnp.swapaxes(uss, 0, 1))
+            xss = jnp.concatenate(
+                [x0s_[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
+            return xss, jnp.swapaxes(zs, 0, 1)
+
         def step(x, u):
             x2 = fB(x, u)
             return x2, x2
 
         _, xs = jax.lax.scan(step, x0s_, jnp.swapaxes(uss, 0, 1))
-        return jnp.concatenate([x0s_[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
+        return (
+            jnp.concatenate([x0s_[:, None], jnp.swapaxes(xs, 0, 1)], axis=1),
+            None,
+        )
 
     def total_cost(xss, uss):
         cs = jax.vmap(
@@ -274,15 +312,38 @@ def ilqr_batched(
         )(xss, uss)
         return cs  # (B,)
 
-    def backward(xss, uss, mus):
+    def backward(xss, uss, zss, mus):
         Vx = vx_fn(xss[:, -1])
         Vxx = vxx_fn(xss[:, -1])
         eye = jnp.eye(nu, dtype=dtype)
 
+        hoisted = None
+        if hoist_linearization:
+            # one (B·H)-batched jacrev for every step Jacobian at once:
+            # the Riccati scan below then runs only the tiny recursions
+            xf = xss[:, :-1].reshape(B * H, nx)
+            uf = uss.reshape(B * H, nu)
+            if rr:
+                zf = zss.reshape(B * H, zss.shape[-1])
+                A_f, B_f = jax.vmap(jax.jacrev(f_replay, argnums=(0, 1)))(
+                    xf, uf, zf)
+            else:
+                A_f, B_f = jax.vmap(jax.jacrev(f, argnums=(0, 1)))(xf, uf)
+            hoisted = (
+                jnp.swapaxes(A_f.reshape(B, H, nx, nx), 0, 1),
+                jnp.swapaxes(B_f.reshape(B, H, nx, nu), 0, 1),
+            )
+
         def bstep(carry, inp):
             Vx, Vxx, ok, dv1, dv2 = carry
-            x_k, u_k = inp          # (B, nx), (B, nu)
-            A_k, B_k = fxu_fn(x_k, u_k)
+            if hoist_linearization:
+                x_k, u_k, A_k, B_k = inp
+            elif rr:
+                x_k, u_k, z_k = inp
+                A_k, B_k = fxu_fn(x_k, u_k, z_k)
+            else:
+                x_k, u_k = inp          # (B, nx), (B, nu)
+                A_k, B_k = fxu_fn(x_k, u_k)
             Qx = cx_fn(x_k, u_k) + jnp.einsum("bij,bi->bj", A_k, Vx)
             Qu = cu_fn(x_k, u_k) + jnp.einsum("bij,bi->bj", B_k, Vx)
             Qxx = cxx_fn(x_k, u_k) + jnp.einsum(
@@ -317,10 +378,16 @@ def ilqr_batched(
             dv2_k = jnp.einsum("bi,bij,bj->b", k, Quu, k)
             return (Vx2, Vxx2, ok & ok_k, dv1 + dv1_k, dv2 + dv2_k), (k, K)
 
+        inputs = [
+            jnp.swapaxes(xss[:, :-1], 0, 1), jnp.swapaxes(uss, 0, 1)]
+        if hoist_linearization:
+            inputs += list(hoisted)
+        elif rr:
+            inputs.append(jnp.swapaxes(zss, 0, 1))
         (_, _, ok, dv1, dv2), (ks, Ks) = jax.lax.scan(
             bstep,
             (Vx, Vxx, jnp.ones(B, bool), jnp.zeros(B, dtype), jnp.zeros(B, dtype)),
-            (jnp.swapaxes(xss[:, :-1], 0, 1), jnp.swapaxes(uss, 0, 1)),
+            tuple(inputs),
             reverse=True,
         )
         expected = -(dv1 + 0.5 * dv2)  # positive when alpha=1 should improve
@@ -328,13 +395,18 @@ def ilqr_batched(
         return jnp.swapaxes(ks, 0, 1), jnp.swapaxes(Ks, 0, 1), ok, expected
 
     def forward(xss, uss, ks, Ks, alpha):
+        """-> (xs2, us2, zs2 or None): controller rollout, recording the
+        contact solutions when record/replay is active."""
         def fstep(x, inp):
             x_ref, u_ref, k, K = inp
             u = u_ref + alpha * k + jnp.einsum("bij,bj->bi", K, x - x_ref)
+            if rr:
+                x2, z = fB_rec(x, u)
+                return x2, (x2, u, z)
             x2 = fB(x, u)
-            return x2, (x2, u)
+            return x2, (x2, u, jnp.zeros((B, 0), dtype))
 
-        _, (xs2, us2) = jax.lax.scan(
+        _, (xs2, us2, zs2) = jax.lax.scan(
             fstep,
             xss[:, 0],
             (
@@ -346,7 +418,11 @@ def ilqr_batched(
         )
         xs2 = jnp.concatenate(
             [xss[:, :1], jnp.swapaxes(xs2, 0, 1)], axis=1)
-        return xs2, jnp.swapaxes(us2, 0, 1)
+        return (
+            xs2,
+            jnp.swapaxes(us2, 0, 1),
+            jnp.swapaxes(zs2, 0, 1) if rr else None,
+        )
 
     alphas = 1.1 ** (-jnp.arange(line_search_steps, dtype=dtype) ** 2)
 
@@ -356,8 +432,8 @@ def ilqr_batched(
     conv_tol = float(8.0 * np.sqrt(H) * np.finfo(np.dtype(dtype)).eps)
 
     def iteration(carry, _):
-        xss, uss, cost_prev, mus = carry
-        ks, Ks, ok, expected = backward(xss, uss, mus)
+        xss, uss, zss, cost_prev, mus = carry
+        ks, Ks, ok, expected = backward(xss, uss, zss, mus)
 
         # a member whose model-predicted decrease at alpha=1 is at rounding
         # scale is converged: no alpha can STRICTLY improve its cost, so
@@ -371,31 +447,35 @@ def ilqr_batched(
         ) & (mus <= 10 * mu_init)
 
         def ls_cond(c):
-            k_i, found, _, _, _ = c
+            k_i, found, _, _, _, _ = c
             return (k_i < line_search_steps) & ~jnp.all(found)
 
         def ls_body(c):
-            k_i, found, bx, bu, bc = c
-            xs2, us2 = forward(xss, uss, ks, Ks, alphas[k_i])
+            k_i, found, bx, bu, bz, bc = c
+            xs2, us2, zs2 = forward(xss, uss, ks, Ks, alphas[k_i])
             c2 = total_cost(xs2, us2)
             better = (c2 < cost_prev) & ok & jnp.isfinite(c2) & ~found
             bx = jnp.where(better[:, None, None], xs2, bx)
             bu = jnp.where(better[:, None, None], us2, bu)
+            if rr:
+                bz = jnp.where(better[:, None, None], zs2, bz)
             bc = jnp.where(better, c2, bc)
-            return k_i + 1, found | better, bx, bu, bc
+            return k_i + 1, found | better, bx, bu, bz, bc
 
-        _, found, xs_new, us_new, c_new = jax.lax.while_loop(
+        _, found, xs_new, us_new, zs_new, c_new = jax.lax.while_loop(
             ls_cond, ls_body,
-            (jnp.int32(0), converged, xss, uss, cost_prev),
+            (jnp.int32(0), converged, xss, uss, zss, cost_prev),
         )
         mus_new = jnp.where(found, jnp.maximum(mus / 2, 1e-8), mus * 10)
-        return (xs_new, us_new, c_new, mus_new), None
+        return (xs_new, us_new, zs_new, c_new, mus_new), None
 
-    xss0 = rollout(x0s, us0)
+    xss0, zss0 = rollout(x0s, us0)
+    if not rr:
+        zss0 = jnp.zeros((B, H, 0), dtype)
     c0 = total_cost(xss0, us0)
-    (xss, uss, cs, _), _ = jax.lax.scan(
+    (xss, uss, _, cs, _), _ = jax.lax.scan(
         iteration,
-        (xss0, us0, c0, jnp.full(B, mu_init, dtype)),
+        (xss0, us0, zss0, c0, jnp.full(B, mu_init, dtype)),
         None,
         length=n_iters,
     )

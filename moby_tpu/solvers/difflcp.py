@@ -39,6 +39,28 @@ import numpy as np
 from . import lcp as lcp_mod
 
 
+def _compact_cap(n: int) -> int:
+    """Static active-set cap for the compacted IFT inverse (0 = disabled).
+
+    The solution active set of the monotone QP-KKT impact LCP is small (its
+    positive components are the pushing impulse directions + binding
+    multipliers, bounded in practice by ~ngc + a few), while the padded LCP
+    dimension n grows with contact/friction/limit slots. The full masked
+    Gauss–Jordan inverse runs n sequential rank-1 steps on (n, n) — for the
+    ur10 problem (n=88) that sequential depth dominated the dispatch-bound
+    MPC backward pass. Compacting to the NA deepest slots cuts the depth and
+    the bandwidth quadratically. Overridable via MOBY_IFT_COMPACT_NA;
+    active sets exceeding the cap poison the pullback with NaN, which the
+    iLQR ok/isfinite guards treat like a failed (non-PD) backward step.
+    """
+    import os
+
+    na = int(os.environ.get("MOBY_IFT_COMPACT_NA", "32"))
+    if n <= max(na, 48):  # small problems: full inverse is already cheap
+        return 0
+    return na
+
+
 def _prep_bwd(M, z, mask):
     """Residuals for the IFT pullback: the active set and the explicit
     inverse of the masked transpose system M_AA^T.
@@ -48,10 +70,35 @@ def _prep_bwd(M, z, mask):
     solve per cotangent would repeat the same elimination nx times. Inverting
     M_AA^T ONCE here (fused Gauss–Jordan, ~2x one solve) turns every pullback
     into a matvec. Runs only under linearization — plain rollouts never pay.
+
+    For large problems (see `_compact_cap`) the inverse is computed on the
+    NA-compacted active block: residuals are (inv_c (NA,NA), P (NA,n)) with
+    the implicit identity Ainv_T = P^T inv_c P, applied as three small
+    matmuls per pullback (no scatters).
     """
     eps = jnp.asarray(1e-10, M.dtype)
     active = (z > eps) & mask
     dtype = M.dtype
+    n = z.shape[-1]
+    na = _compact_cap(n) if lcp_mod._use_gj(dtype) else 0
+    if na:
+        # compact: gather the active rows/cols of M^T to the top-left
+        # NA x NA block via a stable actives-first permutation
+        idx = jnp.argsort(~active)[:na]
+        cnt = jnp.sum(active)
+        P = jax.nn.one_hot(idx, n, dtype=dtype)            # (NA, n)
+        rowm = jnp.arange(na) < cnt
+        sub = (P @ M.T) @ P.T                               # (NA, NA)
+        subm = jnp.where(rowm[:, None] & rowm[None, :], sub, 0.0) + jnp.diag(
+            jnp.where(rowm, 0.0, 1.0).astype(dtype)
+        )
+        inv_c, ok = lcp_mod.gj_invert_masked(subm, rowm)
+        # active set exceeding the cap: poison the pullback (NaN) so the
+        # caller's isfinite guard rejects the step instead of silently
+        # using a truncated inverse
+        bad = (cnt > na) | ~ok
+        inv_c = jnp.where(bad, jnp.full_like(inv_c, jnp.nan), inv_c)
+        return active, (inv_c, P)
     outer = active[:, None] & active[None, :]
     A_T = jnp.where(outer, M.T, 0.0) + jnp.diag(
         jnp.where(active, 0.0, 1.0).astype(dtype)
@@ -66,8 +113,14 @@ def _prep_bwd(M, z, mask):
 
 
 def _ift_bwd(active, Ainv_T, z, zbar):
-    # gbar_A = -M_AA^{-T} zbar_A  (precomputed inverse; see _prep_bwd)
-    gbar = -(Ainv_T @ jnp.where(active, zbar, jnp.zeros_like(zbar)))
+    zb = jnp.where(active, zbar, jnp.zeros_like(zbar))
+    if isinstance(Ainv_T, tuple):
+        inv_c, P = Ainv_T
+        # gbar_A = -(P^T inv_c P) zbar_A: compact matvecs, no scatter
+        gbar = -(P.T @ (inv_c @ (P @ zb)))
+    else:
+        # gbar_A = -M_AA^{-T} zbar_A  (precomputed inverse; see _prep_bwd)
+        gbar = -(Ainv_T @ zb)
     gbar = jnp.where(active, gbar, jnp.zeros_like(gbar))
 
     Mbar = gbar[:, None] * z[None, :]
@@ -140,3 +193,35 @@ def _bwd_mpc(res, zbar):
 
 
 solve_lcp_diff_mpc.defvjp(_fwd_mpc, _bwd_mpc)
+
+
+@jax.custom_vjp
+def solve_lcp_given(M, q, mask, z):
+    """Replay a known LCP solution with the same IFT gradients as the live
+    solves above.
+
+    The iLQR backward pass linearizes the dynamics at states the accepted
+    rollout ALREADY stepped through — the rollout's pivoting solve (BPP
+    while-loop over n-step Gauss–Jordan eliminations) produced z there, and
+    re-running it under `jacrev` was pure sequential-depth waste (the ur10
+    MPC sweep is dispatch-bound at <10% device duty). The primal here just
+    returns the recorded z; the VJP is the identical `_ift_bwd` pullback
+    evaluated at it. z is treated as non-differentiable data (its cotangent
+    is dropped), exactly as the live solvers expose gradients only through
+    (M, q).
+    """
+    return z
+
+
+def _fwd_given(M, q, mask, z):
+    active, Ainv_T = _prep_bwd(M, z, mask)
+    return z, (active, Ainv_T, z)
+
+
+def _bwd_given(res, zbar):
+    active, Ainv_T, z = res
+    Mbar, qbar = _ift_bwd(active, Ainv_T, z, zbar)
+    return Mbar, qbar, None, None
+
+
+solve_lcp_given.defvjp(_fwd_given, _bwd_given)

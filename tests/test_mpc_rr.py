@@ -1,0 +1,122 @@
+"""Record/replay + hoisted-linearization MPC paths (round-4 perf work).
+
+Parity oracle: `solve_batch` must produce identical trajectories/costs with
+record_replay and hoist_linearization on or off — they only restructure HOW
+the backward pass obtains the same IFT Jacobians (VERDICT r4 item #1 asks
+for exactly this cost-parity evidence).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moby_tpu.core import scene as sc
+from moby_tpu.math import quaternion as quat
+from moby_tpu.mpc import contact_mpc
+from moby_tpu.solvers import difflcp, lcp as lcp_mod
+
+
+def ball_scene():
+    b = sc.SceneBuilder()
+    b.set_gravity([0, 0, -9.81])
+    b.add_body("ball", mass=1.0, inertia=sc.sphere_inertia(1.0, 0.5),
+               pos=np.array([0.0, 0.0, 0.5]))
+    b.add_body("ground", enabled=False)
+    b.add_geom("ball", sc.SPHERE, [0.5])
+    pq = np.asarray(quat.from_rpy(jnp.array([1.5707963267949, 0, 0])))
+    b.add_geom("ground", sc.PLANE, [0.0], quat=pq)
+    b.set_contact_params(
+        "ground", "ball", sc.ContactParams(epsilon=0.0, mu_coulomb=0.5, nk=4)
+    )
+    return b.compile()
+
+
+def run_modes(B=4, H=12, n_iters=3):
+    scene, st = ball_scene()
+    prob = contact_mpc.MPCProblem(scene=scene, template=st, dt=0.02, horizon=H)
+    target = jnp.array([0.4, 0.0], st.pos.dtype)
+
+    def cost(x, u):
+        return 1e-4 * jnp.sum(u[:6] ** 2)
+
+    def cost_final(x):
+        return 50.0 * jnp.sum((x[0:2] - target) ** 2)
+
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), st)
+    dx = jnp.linspace(-0.1, 0.1, B)
+    batched = batched.replace(pos=batched.pos.at[:, 0, 0].add(dx))
+
+    outs = {}
+    for name, kw in [
+        ("plain", dict(record_replay=False)),
+        ("rr", dict(record_replay=True)),
+        ("rr_hoist", dict(record_replay=True, hoist_linearization=True)),
+        ("hoist", dict(record_replay=False, hoist_linearization=True)),
+    ]:
+        outs[name] = contact_mpc.solve_batch(
+            prob, batched, cost, cost_final, n_iters=n_iters, **kw)
+    return outs
+
+
+class TestRecordReplayParity:
+    def test_all_modes_identical(self):
+        outs = run_modes()
+        ref = outs["plain"]
+        assert np.all(np.isfinite(np.asarray(ref.cost)))
+        # the ball must actually be pushed (contacts engaged)
+        assert float(np.asarray(ref.cost).max()) < 10.0
+        for name in ("rr", "rr_hoist", "hoist"):
+            np.testing.assert_allclose(
+                np.asarray(outs[name].cost), np.asarray(ref.cost),
+                rtol=1e-9, atol=1e-11, err_msg=name)
+            np.testing.assert_allclose(
+                np.asarray(outs[name].us), np.asarray(ref.us),
+                rtol=1e-7, atol=1e-9, err_msg=name)
+
+
+class TestCompactedIFT:
+    def test_compact_pullback_matches_full(self, monkeypatch):
+        """The NA-compacted IFT inverse must reproduce the full masked
+        inverse's pullback exactly when the active set fits the cap, and
+        poison (NaN) when it does not."""
+        monkeypatch.setattr(lcp_mod, "_GJ_OVERRIDE", True)
+        monkeypatch.setenv("MOBY_IFT_COMPACT_NA", "16")
+        rng = np.random.RandomState(0)
+        n = 64
+        G = rng.randn(n, n)
+        M = jnp.asarray(G @ G.T + n * np.eye(n))
+        mask = jnp.asarray(rng.rand(n) < 0.8)
+        # a z with 10 positive entries (fits NA=16)
+        z = jnp.asarray(np.where(rng.rand(n) < 10 / n, rng.rand(n) + 0.1, 0.0))
+        z = jnp.where(mask, z, 0.0)
+        zbar = jnp.asarray(rng.randn(n))
+
+        act_c, res_c = difflcp._prep_bwd(M, z, mask)
+        assert isinstance(res_c, tuple), "compaction should engage at n=64"
+        Mbar_c, qbar_c = difflcp._ift_bwd(act_c, res_c, z, zbar)
+
+        monkeypatch.setenv("MOBY_IFT_COMPACT_NA", str(n + 1))
+        # cap >= n disables compaction entirely -> full inverse
+        act_f, res_f = difflcp._prep_bwd(M, z, mask)
+        assert not isinstance(res_f, tuple)
+        Mbar_f, qbar_f = difflcp._ift_bwd(act_f, res_f, z, zbar)
+
+        np.testing.assert_allclose(
+            np.asarray(qbar_c), np.asarray(qbar_f), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(Mbar_c), np.asarray(Mbar_f), rtol=1e-5, atol=1e-7)
+
+    def test_overflow_poisons_with_nan(self, monkeypatch):
+        monkeypatch.setattr(lcp_mod, "_GJ_OVERRIDE", True)
+        monkeypatch.setenv("MOBY_IFT_COMPACT_NA", "4")
+        rng = np.random.RandomState(1)
+        n = 64
+        G = rng.randn(n, n)
+        M = jnp.asarray(G @ G.T + n * np.eye(n))
+        mask = jnp.ones(n, bool)
+        z = jnp.asarray(rng.rand(n) + 0.1)  # 64 actives > cap 4
+        act, res = difflcp._prep_bwd(M, z, mask)
+        _, qbar = difflcp._ift_bwd(act, res, z, jnp.ones(n))
+        assert np.all(np.isnan(np.asarray(qbar)[np.asarray(act)]))
