@@ -78,6 +78,18 @@ SUPPORT_CONVEX_TYPES = frozenset(
     {SPHERE, BOX, CYLINDER, CONE, TORUS, POLYHEDRON}
 )
 SUPPORT_NSLOTS = 10   # 5 tilted support points per side
+# curved convex (cylinder/cone/torus) vs heightmap: support-point sampling
+# against the bilinear grid (reference find_contacts_convex_heightmap,
+# include/Moby/CCD.inl:33,70). kind = K_SUPPORT_HM_BASE + ta (A=convex,
+# B=heightmap).
+K_SUPPORT_HM_BASE = 300
+SUPPORT_HM_NSLOTS = 5
+# triangle mesh vs curved convex: mesh vertices against the primitive's
+# closed-form SDF + primitive support probes against the mesh surface
+# (reference generic find_contacts_generic, CCD.inl:81,649-738).
+# kind = K_SUPPORT_TM_BASE + tb (A=trimesh, B=convex).
+K_SUPPORT_TM_BASE = 400
+CURVED_CONVEX_TYPES = frozenset({CYLINDER, CONE, TORUS})
 # pairs with legitimately no contact kernel (two fixed environment fields /
 # plugin ghost anchors) — skipped silently, like the reference never
 # registering them in its dispatch table
@@ -94,6 +106,13 @@ VSLOT_CAP = 16
 
 
 def _kind_nslots(kind: int, vmax: int) -> int:
+    if kind >= K_SUPPORT_TM_BASE:
+        # capped mesh verts inside the primitive + 8 support probes vs mesh
+        # (4 nearest-face normals + 4 tilted around the nearest one, which
+        # turn a flat-feature contact into a stable line/face manifold)
+        return min(vmax, VSLOT_CAP) + 8
+    if kind >= K_SUPPORT_HM_BASE:
+        return SUPPORT_HM_NSLOTS
     if kind >= K_SUPPORT_BASE:
         return SUPPORT_NSLOTS
     if kind in (K_SPHERE_SPHERE, K_SPHERE_PLANE, K_BOX_SPHERE):
@@ -557,6 +576,12 @@ class SceneBuilder:
             return K_VERTS_HEIGHTMAP, False
         if ta == HEIGHTMAP and tb in (BOX, POLYHEDRON):
             return K_VERTS_HEIGHTMAP, True
+        # curved convex vs heightmap: support sampling against the grid
+        # (reference find_contacts_convex_heightmap, CCD.inl:33,70)
+        if ta in CURVED_CONVEX_TYPES and tb == HEIGHTMAP:
+            return K_SUPPORT_HM_BASE + ta, False
+        if ta == HEIGHTMAP and tb in CURVED_CONVEX_TYPES:
+            return K_SUPPORT_HM_BASE + tb, True
         if ta == POLYHEDRON and tb in (POLYHEDRON, BOX):
             return K_CONVEX_CONVEX, False
         if ta == BOX and tb == POLYHEDRON:
@@ -587,6 +612,12 @@ class SceneBuilder:
             return K_TRIMESH_TRIMESH, False
         if ta == POLYHEDRON and tb == TRIMESH:
             return K_TRIMESH_TRIMESH, True
+        # curved convex vs triangle mesh: mesh verts vs primitive SDF +
+        # support probes vs mesh (reference generic path, CCD.inl:81,649)
+        if ta == TRIMESH and tb in CURVED_CONVEX_TYPES:
+            return K_SUPPORT_TM_BASE + tb, False
+        if ta in CURVED_CONVEX_TYPES and tb == TRIMESH:
+            return K_SUPPORT_TM_BASE + ta, True
         # generic convex-convex fallback: any remaining pair of convex
         # primitives routes through the support-function GJK/MTV kernel
         # (sphere-vs-polyhedron, cylinder-vs-cylinder, cone-vs-box, ...)
@@ -840,7 +871,10 @@ class SceneBuilder:
                         f"(bodies '{all_geoms[i].body}' / "
                         f"'{all_geoms[j].body}'). Decompose the shape, "
                         f"register a plugin kernel via add_custom_pair, or "
-                        f"disable the pair."
+                        f"opt the pair out with "
+                        f"builder.disabled_pairs.add((name1, name2)) "
+                        f"(sorted tuple). Note: before round 3 such pairs "
+                        f"were silently ignored; this raise is deliberate."
                     )
                 ga, gb = (j, i) if flip else (i, j)
                 pair_rows.append((ga, gb, kind))

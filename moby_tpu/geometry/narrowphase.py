@@ -984,6 +984,20 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
             d, a, b, pts, nrm, sd = _trimesh_convex(
                 scene, pos, quat_b, pairs, grp["nslots"]
             )
+        elif kind >= sc.K_SUPPORT_TM_BASE:
+            # triangle mesh vs curved convex (static convex type in kind)
+            from .support import get_support_tm_kernel
+
+            d, a, b, pts, nrm, sd = get_support_tm_kernel(
+                kind - sc.K_SUPPORT_TM_BASE
+            )(scene, pos, quat_b, pairs, grp["nslots"])
+        elif kind >= sc.K_SUPPORT_HM_BASE:
+            # curved convex vs heightmap (static convex type in kind)
+            from .support import get_support_hm_kernel
+
+            d, a, b, pts, nrm, sd = get_support_hm_kernel(
+                kind - sc.K_SUPPORT_HM_BASE
+            )(scene, pos, quat_b, pairs)
         elif kind >= sc.K_SUPPORT_BASE:
             # generic convex pair with static types encoded in the kind
             from .support import get_support_kernel
