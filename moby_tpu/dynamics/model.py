@@ -56,6 +56,11 @@ class JointDef:
     lo: np.ndarray = None        # lower limit(s)
     hi: np.ndarray = None        # upper limit(s)
     restitution: float = 0.0     # limit restitution (Moby `restitution-coeff`)
+    # constant offset added to q inside the joint transform, so the REPORTED
+    # q keeps the user's chosen zero (Moby `q-tare`: every Ravelin joint
+    # evaluates at q + _q_tare, e.g. ScrewJoint.cpp:166; read at
+    # src/Joint.cpp:239-247; example/tare/pendulum.xml documents the idiom)
+    tare: np.ndarray = None
     name: str = ""
 
 
@@ -116,6 +121,10 @@ def jcalc(jd: JointDef, jtype: int, q_j):
     """Joint transform X_J (child <- joint frame) and motion subspace S (6, nv)
     expressed in the child (outboard) frame."""
     dtype = q_j.dtype if hasattr(q_j, "dtype") else jnp.float64
+    if jd.tare is not None and jtype in (REVOLUTE, PRISMATIC, UNIVERSAL,
+                                         PLANAR):
+        q_j = q_j + jnp.asarray(np.asarray(jd.tare).ravel()[: q_j.shape[0]],
+                                dtype)
     if jtype == FIXED:
         E = jnp.eye(3, dtype=dtype)
         r = jnp.zeros(3, dtype)

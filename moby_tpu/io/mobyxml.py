@@ -587,6 +587,11 @@ def _build_articulated(b, el, prims, xml_path):
                     inboard=ch.get("inboard-link-id"),
                     outboard=ch.get("outboard-link-id"),
                     q=_floats(ch.get("q")) if ch.get("q") else None,
+                    # q-tare: constant offset added inside the joint
+                    # transform so reported q keeps the user's zero
+                    # (src/Joint.cpp:239-247; example/tare/pendulum.xml)
+                    tare=_floats(ch.get("q-tare")) if ch.get("q-tare")
+                    else None,
                     qd=_floats(ch.get("qd")) if ch.get("qd") else None,
                     lo=_floats(ch.get("lower-limits")) if ch.get("lower-limits") else None,
                     hi=_floats(ch.get("upper-limits")) if ch.get("upper-limits") else None,
@@ -696,6 +701,15 @@ def build_ab_from_world(b, ab_name, links, joints, floating, link_order):
             q0 = j["q"] if j["q"] is not None else np.zeros(max(nqj, 1))
             if j["jtype"] == amdl.SPHERICAL and j["q"] is None:
                 q0 = np.array([0.0, 0, 0, 1.0])
+            # q-tare shifts the joint transform's evaluation point: the
+            # configured world poses correspond to q0 + tare, while the
+            # runtime state keeps reporting q starting at q0
+            tare = j.get("tare")
+            q0_eff = (
+                q0 if tare is None
+                else np.asarray(q0, float)
+                + np.asarray(tare, float)[: len(np.atleast_1d(q0))]
+            )
             a_j = Rc.T @ (j["axis"] / max(np.linalg.norm(j["axis"]), 1e-15))
             a2 = j.get("axis2")
             a2_j = (
@@ -705,7 +719,7 @@ def build_ab_from_world(b, ab_name, links, joints, floating, link_order):
 
             E_conf = Rc.T @ Rp
             r_conf = Rp.T @ (L - pp)
-            EJ, rJ = joint_mats(j["jtype"], a_j, q0)
+            EJ, rJ = joint_mats(j["jtype"], a_j, q0_eff)
             Et = EJ.T @ E_conf
             rt = r_conf - Et.T @ rJ
 
@@ -718,6 +732,7 @@ def build_ab_from_world(b, ab_name, links, joints, floating, link_order):
                 lo=j["lo"],
                 hi=j["hi"],
                 restitution=j["restitution"],
+                tare=None if tare is None else np.asarray(tare, float),
                 name=child,
             )
             com_world = lk["pos"] + Rc @ lk.get("com_local", np.zeros(3))

@@ -27,6 +27,15 @@ from moby_tpu.dynamics import aba as art_dyn
 
 
 def build(B=256):
+    """geom mode (env MOBY_BENCH_UR10_GEOM):
+    - 'proxy' (round-3 comparable): drop all mesh hulls, 3cm fist box on
+      the wrist vs the floor plane
+    - 'real': the wrist_3 link's actual .dae collision hull vs the floor;
+      other links' hulls dropped (they stay >0.4 m above the floor for the
+      whole task — dropping distant pairs is the fixed-shape equivalent of
+      the reference's broad-phase cull)
+    """
+    geom_mode = os.environ.get("MOBY_BENCH_UR10_GEOM", "proxy")
     sdf_path = "/root/reference/example/ur10/ur10/ur10.sdf"
     root = ET.parse(sdf_path).getroot()
     model = root if root.tag == "model" else root.find("model")
@@ -36,7 +45,15 @@ def build(B=256):
         b, model, os.path.dirname(os.path.abspath(sdf_path)),
         strict_meshes=False,
     )
-    b.add_geom(f"{mname}/wrist_3_link", sc.BOX, [0.03, 0.03, 0.03])
+    wrist = f"{mname}/wrist_3_link"
+    if geom_mode == "proxy":
+        b.geoms = [g for g in b.geoms if g.gtype != sc.POLYHEDRON]
+        b.add_geom(wrist, sc.BOX, [0.03, 0.03, 0.03])
+    else:
+        b.geoms = [
+            g for g in b.geoms
+            if g.gtype != sc.POLYHEDRON or g.body == wrist
+        ]
     b.add_body("ground", enabled=False)
     pq = np.asarray(quat.from_rpy(jnp.array([1.5707963267949, 0, 0])))
     b.add_geom("ground", sc.PLANE, [0.0], pos=np.array([0, 0, -0.05]),
@@ -45,6 +62,8 @@ def build(B=256):
         "ground", mname, sc.ContactParams(epsilon=0.0, mu_coulomb=0.5, nk=4)
     )
     scene, st = b.compile()
+    print(f"geom={geom_mode}: K={scene.n_contacts} NL={scene.n_limits} "
+          f"n_lcp={scene.n_lcp}", flush=True)
     ee_slot = scene.nb + [
         l.name for l in scene.arts[0].model.links
     ].index("wrist_3_link")
