@@ -157,11 +157,18 @@ def bench_mpc():
 def bench_ur10_mpc():
     """UR10 contact-MPC reach (BASELINE.json configs row 5: '6-DoF
     articulated reduced-coords dynamics with joint limits, contact-MPC reach
-    task'): the reference arm (example/ur10/ur10/ur10.sdf) with a fist box
-    on wrist_3_link reaching a target AT the floor plane — the optimum
-    presses into the unilateral contact, so every iLQR iteration
-    differentiates through an articulated multi-slot impact LCP with 12
-    joint-limit rows. Returns (solves/s, B)."""
+    task'): the reference arm (example/ur10/ur10/ur10.sdf) reaching a target
+    AT the floor plane — the optimum presses into the unilateral contact, so
+    every iLQR iteration differentiates through an articulated multi-slot
+    impact LCP with 12 joint-limit rows.
+
+    Geometry (MOBY_BENCH_UR10_GEOM): 'real' (default) collides the wrist_3
+    link's actual Collada collision hull (meshes/collision/Wrist3.dae, read
+    directly by io/collada.py) against the floor; the other links' hulls
+    stay >0.4 m above the floor for the whole task and are dropped — the
+    fixed-shape equivalent of the reference's broad-phase cull. 'proxy'
+    keeps the round-3 3 cm fist box (comparability). Returns (solves/s, B).
+    """
     import xml.etree.ElementTree as ET
 
     import jax
@@ -178,15 +185,21 @@ def bench_ur10_mpc():
     root = ET.parse(sdf_path).getroot()
     model = root if root.tag == "model" else root.find("model")
 
+    geom_mode = os.environ.get("MOBY_BENCH_UR10_GEOM", "real")
     b = sc.SceneBuilder()
     b.set_gravity([0, 0, -9.81])
     mname, _, _ = sdfio.add_model(
         b, model, os.path.dirname(os.path.abspath(sdf_path))
     )
-    # fist proxy on the wrist (the SDF's DAE collision meshes carry no
-    # vertex data our loader keeps) + floor plane 5 cm under the arm's
-    # initial wrist height
-    b.add_geom(f"{mname}/wrist_3_link", sc.BOX, [0.03, 0.03, 0.03])
+    wrist = f"{mname}/wrist_3_link"
+    if geom_mode == "proxy":
+        b.geoms = [g for g in b.geoms if g.gtype != sc.POLYHEDRON]
+        b.add_geom(wrist, sc.BOX, [0.03, 0.03, 0.03])
+    else:
+        b.geoms = [
+            g for g in b.geoms
+            if g.gtype != sc.POLYHEDRON or g.body == wrist
+        ]
     b.add_body("ground", enabled=False)
     import jax.numpy as _j
     pq = np.asarray(quat.from_rpy(_j.array([1.5707963267949, 0, 0])))
@@ -294,6 +307,7 @@ def main():
         ur10_sps, ur10_b = bench_ur10_mpc()
         extra["ur10_contact_mpc_solves_per_s_H50"] = round(ur10_sps, 2)
         extra["ur10_B"] = ur10_b
+        extra["ur10_geom"] = os.environ.get("MOBY_BENCH_UR10_GEOM", "real")
     print(json.dumps({
         "metric": "contact_mpc_solves_per_s_H50",
         "value": round(solves_per_s, 2),

@@ -245,13 +245,14 @@ def _quat_to_R(q):
     )
 
 
-def load(path: str, post_build=None):
+def load(path: str, post_build=None, dtype=None):
     """Read a Moby XML scene file -> (Scene, State, DriverOptions).
 
     `post_build(builder)`: optional hook invoked before compilation — the
     Python equivalent of the reference's dlopen'd `init` plugins
     (programs/driver.cpp:307-352) for scenes whose geometry/controllers live
-    in a plugin .so.
+    in a plugin .so. `dtype` overrides the builder's default float type
+    (e.g. np.float32 for on-device smoke runs).
     """
     import os
 
@@ -331,7 +332,7 @@ def load(path: str, post_build=None):
     if sim_el is None:
         raise ValueError("no simulator element found")
 
-    b = sc.SceneBuilder()
+    b = sc.SceneBuilder() if dtype is None else sc.SceneBuilder(dtype=dtype)
 
     # which bodies the simulator includes, in document order
     body_ids = [

@@ -173,11 +173,37 @@ def _mpc_xla(M, q, mask, z0, skip):
         m_active * lcp_mod._masked_norm_inf(Mp, mask) * near_zero
     ).astype(dtype)
 
-    z_bp, ok_bp = lcp_mod.lcp_bpp(M, q, mask, z0=z0, skip=skip)
+    # compacted working-set BPP for large padded LCPs (see bpp_compact_cap);
+    # a capped-out/failed solve falls through to the full-size lcp_fast
+    z_bp, ok_bp = lcp_mod.lcp_bpp(
+        M, q, mask, z0=z0, skip=skip,
+        na_cap=lcp_mod.bpp_compact_cap(q.shape[-1]) if lcp_mod._use_gj(dtype)
+        else None,
+    )
     ok_bp = ok_bp & lcp_mod._verify(Mp, qp, z_bp, mask, check_tol)
     z2, ok2 = lcp_mod.lcp_fast(M, q, mask, z0=z0, skip=ok_bp | skip)
+    ok12 = ok_bp | ok2
     z = jnp.where(ok_bp, z_bp, z2)
-    return z, ok_bp | ok2
+    # rescue stage: both lean solvers fail on DEGENERATE states (singular
+    # principal submatrices of the rank-deficient Delassus blocks — e.g.
+    # ~0.1% of ur10 members at B>=512); the Tikhonov sweep is the same
+    # rescue the production cascade uses, gated so converged members pay
+    # no pivot iterations. MOBY_MPC_RESCUE=0 disables (debug).
+    import os
+
+    if os.environ.get("MOBY_MPC_RESCUE", "1") != "0":
+        z3, ok3 = lcp_mod.lcp_fast_regularized(M, q, mask, z0=z0,
+                                               skip=ok12 | skip)
+        z = jnp.where(ok12, z, z3)
+        ok = ok12 | ok3
+    else:
+        ok = ok12
+    # every stage failed: poison instead of returning a non-solution as if
+    # it converged — NaN states make the iLQR line search reject the
+    # rollout (and the failure visible), where finite garbage impulses
+    # would silently corrupt the optimum
+    z = jnp.where(ok | skip, z, jnp.full_like(z, jnp.nan))
+    return z, ok
 
 
 def _fwd_mpc(M, q, mask, z0, skip):

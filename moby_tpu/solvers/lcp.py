@@ -215,7 +215,7 @@ def gj_invert_pd(A):
     return B, ok
 
 
-def solve_principal(M, rhs, nonbas):
+def solve_principal(M, rhs, nonbas, na_cap=None):
     """Solve the principal subsystem M[nb, nb] x_nb = rhs_nb; zero elsewhere.
 
     The shared sub-solve of every pivoting method (the reference's
@@ -224,8 +224,31 @@ def solve_principal(M, rhs, nonbas):
     regression mode). The masked systems are principal submatrices of the QP
     KKT-LCP matrix, whose symmetric part is PSD, so unpivoted elimination is
     stable. Returns (x, ok).
+
+    na_cap (static): compact the masked system to the na_cap
+    permuted-to-front nonbasic slots before eliminating — the GJ depth and
+    bandwidth drop from n to na_cap (the sequential-depth bottleneck of the
+    large articulated MPC LCPs, which are padded to n=88+ while their
+    working sets stay small). A nonbasic set larger than the cap returns
+    ok=False, which callers treat like a singular sub-solve (BPP reports
+    failure and the full-size fallback path runs).
     """
     dtype = M.dtype
+    n = rhs.shape[-1]
+    if na_cap is not None and _use_gj(dtype) and na_cap < n:
+        idx = jnp.argsort(~nonbas)[:na_cap]       # nonbasics first (stable)
+        cnt = jnp.sum(nonbas)
+        P = jax.nn.one_hot(idx, n, dtype=dtype)   # (NA, n)
+        rowm = jnp.arange(na_cap) < cnt
+        sub = (P @ M) @ P.T
+        subm = jnp.where(rowm[:, None] & rowm[None, :], sub, 0.0) + jnp.diag(
+            jnp.where(rowm, 0.0, 1.0).astype(dtype)
+        )
+        bc = jnp.where(rowm, P @ jnp.where(nonbas, rhs, 0.0), 0.0)
+        xc, ok = gj_solve_masked(subm, bc, rowm)
+        x = P.T @ xc
+        ok = ok & (cnt <= na_cap)
+        return jnp.where(nonbas, x, 0.0), ok
     outer = nonbas[:, None] & nonbas[None, :]
     A = jnp.where(outer, M, 0.0) + jnp.diag(
         jnp.where(nonbas, 0.0, 1.0).astype(dtype)
@@ -759,8 +782,28 @@ class _BPPState(NamedTuple):
     p: jnp.ndarray        # safeguard budget (Murty fallback when exhausted)
 
 
+def bpp_compact_cap(n: int) -> int | None:
+    """Static working-set cap for the compacted BPP sub-solves (None =
+    full size). Mirrors difflcp._compact_cap's rationale on the forward
+    side: large padded impact LCPs carry small working sets.
+
+    OPT-IN via MOBY_BPP_COMPACT_NA (0/unset = off): on the ur10 MPC
+    workload (n=88) it measured only +2% over the record/replay path while
+    changing which solution of DEGENERATE contact LCPs the seed converges
+    to (a different—equally valid—impulse distribution, so trajectories
+    shift), and capped-out members at large batch fall back more often.
+    Worth revisiting for n >> 100 problems where the depth ratio is
+    bigger."""
+    import os
+
+    na = int(os.environ.get("MOBY_BPP_COMPACT_NA", "0"))
+    if na <= 0 or n <= max(na, 64):
+        return None
+    return na
+
+
 def lcp_bpp(M, q, mask, z0=None, zero_tol=-1.0, max_iters: int = 24,
-            p_budget: int = 3, skip=None, with_pivots=False):
+            p_budget: int = 3, skip=None, with_pivots=False, na_cap=None):
     """Block principal pivoting (Júdice–Pires) for the LCP.
 
     Same sub-problem solve as :func:`lcp_fast` (masked dense system, as the
@@ -797,12 +840,25 @@ def lcp_bpp(M, q, mask, z0=None, zero_tol=-1.0, max_iters: int = 24,
     warm = (jnp.abs(z0) >= ztol) & mask
     cold = (q < -ztol) & mask
     nonbas0 = jnp.where(jnp.any(warm), warm, cold)
+
+    def _rank_in(sel, key):
+        """0-based rank of each selected slot by ascending key."""
+        order = jnp.argsort(jnp.where(sel, key, jnp.inf))
+        return jnp.argsort(order)
+
+    if na_cap is not None:
+        # cap the initial working set at the na_cap highest-priority slots
+        # (most-negative q cold / largest warm-start magnitude): the
+        # compacted sub-solve below reports failure past the cap, so never
+        # seed beyond it
+        key0 = jnp.where(jnp.any(warm), -jnp.abs(z0), q)
+        nonbas0 = nonbas0 & (_rank_in(nonbas0, key0) < na_cap)
     trivial = ~jnp.any(nonbas0)
 
     arange = jnp.arange(n)
 
     def solve_sub(nonbas):
-        z, ok = solve_principal(M, -q, nonbas)
+        z, ok = solve_principal(M, -q, nonbas, na_cap=na_cap)
         bas = mask & ~nonbas
         w = jnp.where(bas, M @ z + q, 0.0)
         return z, w, ok
@@ -829,6 +885,12 @@ def lcp_bpp(M, q, mask, z0=None, zero_tol=-1.0, max_iters: int = 24,
         use_block = p_next > 0
         H1e = jnp.where(use_block, H1, single & H1)
         H2e = jnp.where(use_block, H2, single & H2)
+
+        if na_cap is not None:
+            # admit only the most-violating entering indices that fit the
+            # compacted working set (the rest re-qualify next iteration)
+            room = na_cap - jnp.sum(s.nonbas & ~H1e)
+            H2e = H2e & (_rank_in(H2e, w) < room)
 
         nonbas_next = (s.nonbas & ~H1e) | H2e
 

@@ -25,7 +25,14 @@ model = root if root.tag == "model" else root.find("model")
 b = sc.SceneBuilder()
 b.set_gravity([0, 0, -9.81])
 mname, _, _ = sdfio.add_model(b, model, os.path.dirname(os.path.abspath(sdf_path)))
-b.add_geom(f"{mname}/wrist_3_link", sc.BOX, [0.03, 0.03, 0.03])
+geom_mode = os.environ.get("MOBY_BENCH_UR10_GEOM", "proxy")
+wrist = f"{mname}/wrist_3_link"
+if geom_mode == "proxy":
+    b.geoms = [g for g in b.geoms if g.gtype != sc.POLYHEDRON]
+    b.add_geom(wrist, sc.BOX, [0.03, 0.03, 0.03])
+else:  # real: wrist hull only (others never approach the floor)
+    b.geoms = [g for g in b.geoms
+               if g.gtype != sc.POLYHEDRON or g.body == wrist]
 b.add_body("ground", enabled=False)
 pq = np.asarray(quat.from_rpy(jnp.array([1.5707963267949, 0, 0])))
 b.add_geom("ground", sc.PLANE, [0.0], pos=np.array([0, 0, -0.05]), quat=pq)

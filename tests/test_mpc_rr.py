@@ -108,6 +108,33 @@ class TestCompactedIFT:
         np.testing.assert_allclose(
             np.asarray(Mbar_c), np.asarray(Mbar_f), rtol=1e-5, atol=1e-7)
 
+    def test_capped_bpp_matches_full(self, monkeypatch):
+        """lcp_bpp with a working-set cap must produce the same solution as
+        the full-width solve on PD LCPs (unique z), including when the cold
+        start has more violations than the cap (capped seeding + capped
+        block swaps converge to the same point)."""
+        monkeypatch.setattr(lcp_mod, "_GJ_OVERRIDE", True)
+        rng = np.random.RandomState(2)
+        n = 88
+        for qscale in (1.0, 5.0):
+            G = rng.randn(n, 12)
+            M = jnp.asarray(G @ G.T + 0.1 * np.eye(n))
+            q = jnp.asarray(rng.randn(n) - qscale)   # many negatives
+            mask = jnp.ones(n, bool)
+            z_f, ok_f = lcp_mod.lcp_bpp(M, q, mask, max_iters=64)
+            z_c, ok_c = lcp_mod.lcp_bpp(M, q, mask, max_iters=64, na_cap=48)
+            assert bool(ok_f)
+            if bool(ok_c):
+                np.testing.assert_allclose(
+                    np.asarray(z_c), np.asarray(z_f), rtol=1e-6, atol=1e-8)
+            # capped solve never returns an unverified "solution": LCP
+            # conditions hold whenever it reports ok
+            if bool(ok_c):
+                w = np.asarray(M @ z_c + q)
+                zc = np.asarray(z_c)
+                assert (zc > -1e-8).all() and (w > -1e-6).all()
+                assert abs((zc * w)).max() < 1e-5
+
     def test_overflow_poisons_with_nan(self, monkeypatch):
         monkeypatch.setattr(lcp_mod, "_GJ_OVERRIDE", True)
         monkeypatch.setenv("MOBY_IFT_COMPACT_NA", "4")

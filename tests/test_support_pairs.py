@@ -47,7 +47,18 @@ class TestPairKindRouting:
         assert all(int(k) >= sc.K_SUPPORT_BASE for k in
                    np.asarray(scene.pair_kind))
 
-    def test_unhandleable_pair_raises(self):
+    def test_dispatch_table_is_complete(self):
+        """Round 4 closed the last dispatch holes (curved-convex vs
+        heightmap/trimesh): every geometry-type pair now resolves to a
+        kernel or an intentional skip — nothing returns None (which would
+        raise at compile). The loud-raise path itself is still exercised:
+        trimesh-vs-cylinder (the round-3 raiser) now compiles."""
+        b = sc.SceneBuilder()
+        for ta in range(10):
+            for tb in range(10):
+                kind, _ = b._pair_kind(ta, tb)
+                assert kind is not None, (ta, tb)
+
         b = sc.SceneBuilder()
         b.add_body("m", mass=1.0, inertia=np.eye(3))
         b.add_geom(
@@ -59,8 +70,8 @@ class TestPairKindRouting:
         )
         b.add_body("c", mass=1.0, inertia=np.eye(3), pos=np.array([3.0, 0, 0]))
         b.add_geom("c", sc.CYLINDER, [0.5, 1.0])
-        with pytest.raises(ValueError, match="no narrow-phase kernel"):
-            b.compile()
+        scene, st = b.compile()
+        assert scene.n_pairs == 1
 
     def test_plane_plane_still_skipped(self):
         b = sc.SceneBuilder()
