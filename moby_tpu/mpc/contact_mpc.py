@@ -125,12 +125,18 @@ def make_dynamics(scene: sc.Scene, template: sc.State, dt) -> Callable:
 def make_dynamics_rr(scene: sc.Scene, template: sc.State, dt):
     """(f, f_record, f_replay) for the record/replay linearization path.
 
-    f_record(x, u) -> (x', z): the plain step plus the LCP solution it
-    used. f_replay(x, u, z) -> x': the identical step with the pivoting
-    solve replaced by `solve_lcp_given(z)` — same primal, same IFT
-    gradients, zero pivot iterations. The iLQR backward pass linearizes at
-    rollout states, so replaying the rollout's own z there removes every
-    BPP while-loop from the (dispatch-bound) backward sweep.
+    f_record(x, u, aux) -> (x', z, aux'): the step plus the LCP solution
+    it used, where aux = (zlast, zlast_active) WARM-STARTS the pivoting
+    solve from the previous rollout step — the reference's own zlast
+    machinery (ImpactConstraintHandler warm start, `_zlast`), which
+    collapses the pivot iterations of persistent resting contacts to ~1.
+    The recorded z is the actual converged solution, so the backward
+    replay stays exact regardless of seeding.
+    f_replay(x, u, z) -> x': the identical step with the pivoting solve
+    replaced by `solve_lcp_given(z)` — same primal, same IFT gradients,
+    zero pivot iterations. The iLQR backward pass linearizes at rollout
+    states, so replaying the rollout's own z there removes every BPP
+    while-loop from the (dispatch-bound) backward sweep.
 
     Returns (f, None, None) when the scene has no single-solve guarantee
     (`diffstep.replay_ok`) or no contacts at all.
@@ -161,16 +167,23 @@ def make_dynamics_rr(scene: sc.Scene, template: sc.State, dt):
             [u, jnp.zeros(scene.ngc - len(gc_cols), u.dtype)]
         )[perm]
 
-    def f_record(x, u):
+    def aux_init():
+        return (jnp.zeros_like(template.zlast),
+                jnp.zeros_like(template.zlast_active))
+
+    def f_record(x, u, aux):
         st = unpack(scene, cold, x)
-        st2 = diffstep.dstep(scene, st, dt, expand(u))
-        return pack(scene, st2), st2.zlast
+        st = st.replace(zlast=aux[0], zlast_active=aux[1])
+        st2, z_step = diffstep.dstep(scene, st, dt, expand(u),
+                                     return_z=True)
+        return pack(scene, st2), z_step, (st2.zlast, st2.zlast_active)
 
     def f_replay(x, u, z):
         st = unpack(scene, cold, x)
         st2 = diffstep.dstep(scene, st, dt, expand(u), lcp_given=z)
         return pack(scene, st2)
 
+    f_record.aux_init = aux_init
     return f, f_record, f_replay
 
 

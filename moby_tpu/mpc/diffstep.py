@@ -58,10 +58,11 @@ def replay_ok(scene: sc.Scene) -> bool:
 
 
 def dstep(scene: sc.Scene, st: sc.State, dt, u=None,
-          lcp_given=None) -> sc.State:
+          lcp_given=None, return_z=False):
     """One differentiable step. u: optional (ngc,) generalized force.
     lcp_given: optional recorded LCP solution (see `_replay_lcp`); callers
-    must ensure `replay_ok(scene)`."""
+    must ensure `replay_ok(scene)`. return_z: also return the LCP solution
+    actually applied this step (zero when gated) for record/replay."""
     dtype = st.pos.dtype
     dt = jnp.asarray(dt, dtype)
 
@@ -103,6 +104,7 @@ def dstep(scene: sc.Scene, st: sc.State, dt, u=None,
     lam = scene.dissipation_lambda[:, None]
     st2 = st2.replace(vel=vel * lam, omega=omega * lam, qd_art=qd_art)
 
+    z_step = jnp.zeros_like(st.zlast)
     if scene.n_contacts or scene.n_limits:
         pt = kinematics.compute(scene, st2)
         _, con = nph.narrow_phase(
@@ -116,8 +118,12 @@ def dstep(scene: sc.Scene, st: sc.State, dt, u=None,
         )
         st2 = kinematics.apply_gc_velocity_delta(scene, st2, res.dv)
         st2 = st2.replace(zlast=res.zlast, zlast_active=res.zlast_active)
+        z_step = res.z_step
 
-    return st2.replace(time=st.time + dt)
+    st2 = st2.replace(time=st.time + dt)
+    if return_z:
+        return st2, z_step
+    return st2
 
 
 def rollout(scene: sc.Scene, st: sc.State, us, dt):

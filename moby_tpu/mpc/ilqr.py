@@ -244,9 +244,12 @@ def ilqr_batched(
     f/cost/cost_final are per-scenario functions (vmapped internally);
     x0s (B, nx); us0 (B, H, nu) or (H, nu) broadcast.
 
-    Record/replay (optional): f_record(x, u) -> (x', aux) runs the same
-    step but also returns the contact-solve solution; f_replay(x, u, aux)
-    -> x' replays it with identical primal and IFT gradients but no pivot
+    Record/replay (optional): f_record(x, u, aux) -> (x', z, aux') runs
+    the same step warm-started by the scan-carried aux (the previous
+    step's (zlast, zlast_active) — the reference's own warm-start
+    machinery) and returns the contact-solve solution z actually applied;
+    f_record.aux_init() gives the cold aux for step 0. f_replay(x, u, z)
+    -> x' replays z with identical primal and IFT gradients but no pivot
     loops. The backward pass then linearizes through f_replay at the
     rollout's own solutions — removing the LCP while-loops from the
     (dispatch-bound) backward sweep.
@@ -283,15 +286,22 @@ def ilqr_batched(
     vx_fn = jax.vmap(jax.grad(cost_final))
     vxx_fn = jax.vmap(jax.hessian(cost_final))
 
+    def aux0():
+        return jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+            f_record.aux_init(),
+        )
+
     def rollout(x0s_, uss):
         """-> (xss (B,H+1,nx), zss (B,H,nz) or None)"""
         if rr:
-            def step(x, u):
-                x2, z = fB_rec(x, u)
-                return x2, (x2, z)
+            def step(carry, u):
+                x, aux = carry
+                x2, z, aux2 = fB_rec(x, u, aux)
+                return (x2, aux2), (x2, z)
 
             _, (xs, zs) = jax.lax.scan(
-                step, x0s_, jnp.swapaxes(uss, 0, 1))
+                step, (x0s_, aux0()), jnp.swapaxes(uss, 0, 1))
             xss = jnp.concatenate(
                 [x0s_[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
             return xss, jnp.swapaxes(zs, 0, 1)
@@ -397,18 +407,19 @@ def ilqr_batched(
     def forward(xss, uss, ks, Ks, alpha):
         """-> (xs2, us2, zs2 or None): controller rollout, recording the
         contact solutions when record/replay is active."""
-        def fstep(x, inp):
+        def fstep(carry, inp):
+            x, aux = carry
             x_ref, u_ref, k, K = inp
             u = u_ref + alpha * k + jnp.einsum("bij,bj->bi", K, x - x_ref)
             if rr:
-                x2, z = fB_rec(x, u)
-                return x2, (x2, u, z)
+                x2, z, aux2 = fB_rec(x, u, aux)
+                return (x2, aux2), (x2, u, z)
             x2 = fB(x, u)
-            return x2, (x2, u, jnp.zeros((B, 0), dtype))
+            return (x2, aux), (x2, u, jnp.zeros((B, 0), dtype))
 
         _, (xs2, us2, zs2) = jax.lax.scan(
             fstep,
-            xss[:, 0],
+            (xss[:, 0], aux0() if rr else jnp.zeros((B, 0), dtype)),
             (
                 jnp.swapaxes(xss[:, :-1], 0, 1),
                 jnp.swapaxes(uss, 0, 1),

@@ -49,6 +49,10 @@ class ImpactResult(NamedTuple):
     impulses_n: jnp.ndarray  # (K,)
     pivots: jnp.ndarray = None     # () int32: LCP pivot count of this solve
     fallbacks: jnp.ndarray = None  # () int32: solver-cascade fallback count
+    # the LCP solution actually applied THIS step (zero when the solve was
+    # gated out) — unlike zlast, which passes the warm-start seed through
+    # on no-impact steps. The MPC record/replay path replays exactly this.
+    z_step: jnp.ndarray = None
 
 
 def contact_velocities(scene: sc.Scene, pt: PoseTable, con: Contacts):
@@ -569,7 +573,10 @@ def resolve_impacts(
         cn_total = jnp.where(any_impact, cn1, jnp.zeros(K, dtype))
         pivots = st1.pivots.astype(jnp.int32)
         fallbacks = st1.fallback.astype(jnp.int32)
-        return ImpactResult(dv, z_out, za_out, cn_total, pivots, fallbacks)
+        return ImpactResult(
+            dv, z_out, za_out, cn_total, pivots, fallbacks,
+            z_step=jnp.where(any_impact, z_f, jnp.zeros_like(z_f)),
+        )
 
     zr = z.at[:K].multiply(scene.slot_eps)
     if scene.n_limits:
@@ -629,7 +636,10 @@ def resolve_impacts(
     )
     pivots = (st1.pivots + st3.pivots).astype(jnp.int32)
     fallbacks = st1.fallback.astype(jnp.int32) + st3.fallback.astype(jnp.int32)
-    return ImpactResult(dv, z_out, za_out, cn_total, pivots, fallbacks)
+    return ImpactResult(
+        dv, z_out, za_out, cn_total, pivots, fallbacks,
+        z_step=jnp.where(any_impact, z_f, jnp.zeros_like(z_f)),
+    )
 
 
 def group_labels(scene, con):

@@ -364,6 +364,21 @@ def lcp_fast(M, q, mask, z0=None, zero_tol=-1.0, skip=None):
         solved = w_ok & ~z_neg
         nonbas_next = (s.nonbas | move_in) & ~move_out
 
+        if _use_gj(dtype):
+            # the fused-GJ sub-solve SKIPS vanishing pivots (dependent
+            # coordinates stay zero), so a singular principal submatrix —
+            # routine for the rank-deficient Delassus blocks of large
+            # impact LCPs — still yields a usable iterate: keep pivoting
+            # instead of aborting (the caller verifies before accepting;
+            # max_piv bounds cycling). Early-abort survives on the f64
+            # LAPACK route, whose singular solves return non-finite.
+            return _PPMState(
+                nonbas=jnp.where(solved, s.nonbas, nonbas_next),
+                z=z,
+                done=solved,
+                failed=jnp.array(False),
+                pivots=s.pivots + 1,
+            )
         return _PPMState(
             nonbas=jnp.where(solved | ~solvable, s.nonbas, nonbas_next),
             z=jnp.where(solvable, z, s.z),
@@ -894,6 +909,24 @@ def lcp_bpp(M, q, mask, z0=None, zero_tol=-1.0, max_iters: int = 24,
 
         nonbas_next = (s.nonbas & ~H1e) | H2e
 
+        if _use_gj(dtype) and na_cap is None:
+            # pivot-skipping GJ sub-solves survive singular principal
+            # submatrices (see lcp_fast.body): keep iterating instead of
+            # aborting — the cold q<0 seed of a rank-deficient impact LCP
+            # is singular almost always, and aborting there forced the
+            # whole solve to the fallback path. Violated rows of the
+            # skipped coordinates re-enter via H1/H2; _verify gates
+            # acceptance; max_iters bounds cycling.
+            solved_r = ninf == 0
+            return _BPPState(
+                nonbas=jnp.where(solved_r, s.nonbas, nonbas_next),
+                z=z,
+                done=solved_r,
+                failed=jnp.array(False),
+                iters=s.iters + 1,
+                ninf=jnp.where(improved, ninf, s.ninf),
+                p=jnp.maximum(p_next, 0),
+            )
         return _BPPState(
             nonbas=jnp.where(solved | ~solvable, s.nonbas, nonbas_next),
             z=jnp.where(solvable, z, s.z),
