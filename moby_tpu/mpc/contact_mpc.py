@@ -244,6 +244,8 @@ def solve_batch(
     for scenes where a step can solve twice (nonzero restitution).
     hoist_linearization: batch all H step Jacobians in one jacrev before
     the Riccati scan (wins for dispatch-bound articulated steps)."""
+    import os
+
     scene = prob.scene
     f, f_rec, f_rep = make_dynamics_rr(scene, prob.template, prob.dt)
     if not record_replay:
@@ -259,4 +261,6 @@ def solve_batch(
         f, cost, cost_final, x0s, us0, n_iters=n_iters,
         f_record=f_rec, f_replay=f_rep,
         hoist_linearization=hoist_linearization,
+        riccati_bf16=os.environ.get("MOBY_MPC_RICCATI_BF16", "0") == "1",
+        line_search_steps=int(os.environ.get("MOBY_MPC_LS_STEPS", "8")),
     )

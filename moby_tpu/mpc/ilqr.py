@@ -228,6 +228,7 @@ def ilqr_batched(
     f_record: Callable | None = None,
     f_replay: Callable | None = None,
     hoist_linearization: bool = False,
+    riccati_bf16: bool = False,
 ) -> ILQRResult:
     """Batch-level iLQR: like vmap(ilqr) but with a batch-voted early-exit
     backtracking line search.
@@ -260,6 +261,12 @@ def ilqr_batched(
     a large win when the per-step graph is dispatch-bound (articulated
     scenes); measured slower for the tiny ball-push step, so off by
     default.
+
+    riccati_bf16: run the quadratic-form einsums of the Riccati recursion
+    (AᵀVA, BᵀVB, BᵀVA, gain applications) in bfloat16 with f32
+    accumulation. The recursion feeds a line-searched descent direction,
+    so reduced precision costs at most extra line-search/µ retries, never
+    wrong physics; halves the HBM traffic of the backward sweep.
     """
     B, nx = x0s.shape
     if us0.ndim == 2:
@@ -354,14 +361,22 @@ def ilqr_batched(
             else:
                 x_k, u_k = inp          # (B, nx), (B, nu)
                 A_k, B_k = fxu_fn(x_k, u_k)
+            if riccati_bf16:
+                bf = jnp.bfloat16
+                A_q, B_q, V_q = A_k.astype(bf), B_k.astype(bf), Vxx.astype(bf)
+                qf = dict(preferred_element_type=dtype)
+            else:
+                A_q, B_q, V_q = A_k, B_k, Vxx
+                qf = {}
             Qx = cx_fn(x_k, u_k) + jnp.einsum("bij,bi->bj", A_k, Vx)
             Qu = cu_fn(x_k, u_k) + jnp.einsum("bij,bi->bj", B_k, Vx)
             Qxx = cxx_fn(x_k, u_k) + jnp.einsum(
-                "bji,bjk,bkl->bil", A_k, Vxx, A_k)
+                "bji,bjk,bkl->bil", A_q, V_q, A_q, **qf)
             Quu = cuu_fn(x_k, u_k) + jnp.einsum(
-                "bji,bjk,bkl->bil", B_k, Vxx, B_k)
+                "bji,bjk,bkl->bil", B_q, V_q, B_q, **qf)
             Qux = cux_fn(x_k, u_k) + jnp.einsum(
-                "bji,bjk,bkl->bil", B_k, Vxx, A_k)
+                "bji,bjk,bkl->bil", B_q, V_q, A_q, **qf)
+            Quu = 0.5 * (Quu + jnp.swapaxes(Quu, -1, -2))
             Quu_reg = Quu + mus[:, None, None] * eye[None]
             Quu_inv, ok_k = _pd_inverse(Quu_reg)
             k = -jnp.einsum("bij,bj->bi", Quu_inv, Qu)

@@ -174,21 +174,41 @@ def _mpc_xla(M, q, mask, z0, skip):
     ).astype(dtype)
 
     # compacted working-set BPP for large padded LCPs (see bpp_compact_cap);
-    # a capped-out/failed solve falls through to the full-size lcp_fast
+    # a capped-out/failed solve falls through the cascade below
+    import os
+
+    bpp_iters = int(os.environ.get("MOBY_MPC_BPP_ITERS", "24"))
     z_bp, ok_bp = lcp_mod.lcp_bpp(
-        M, q, mask, z0=z0, skip=skip,
+        M, q, mask, z0=z0, skip=skip, max_iters=bpp_iters,
         na_cap=lcp_mod.bpp_compact_cap(q.shape[-1]) if lcp_mod._use_gj(dtype)
         else None,
     )
     ok_bp = ok_bp & lcp_mod._verify(Mp, qp, z_bp, mask, check_tol)
-    z2, ok2 = lcp_mod.lcp_fast(M, q, mask, z0=z0, skip=ok_bp | skip)
-    ok12 = ok_bp | ok2
-    z = jnp.where(ok_bp, z_bp, z2)
-    # rescue stage: both lean solvers fail on DEGENERATE states (singular
-    # principal submatrices of the rank-deficient Delassus blocks — e.g.
-    # ~0.1% of ur10 members at B>=512); the Tikhonov sweep is the same
-    # rescue the production cascade uses, gated so converged members pay
-    # no pivot iterations. MOBY_MPC_RESCUE=0 disables (debug).
+    # stage 2: single-λ Tikhonov BPP. Degenerate active sets (the routine
+    # failure of the rank-deficient impact LCPs) become strictly monotone
+    # under M+λI, where BPP converges in a handful of iterations;
+    # acceptance verifies against the REGULARIZED problem, exactly as the
+    # reference's regularized wrappers do (src/LCP.cpp:239-260). This
+    # stage is ~100x shallower than the full Tikhonov/lcp_fast sweep that
+    # otherwise fires lock-step across the batch on every degenerate step
+    # (measured 5x wall-time of the whole ur10 MPC sweep).
+    lam = (
+        jnp.asarray(np.sqrt(np.finfo(np.dtype(dtype)).eps), dtype)
+        * lcp_mod._masked_norm_inf(Mp, mask)
+    )
+    n = q.shape[-1]
+    Mreg = Mp + lam * jnp.eye(n, dtype=dtype) * mask.astype(dtype)
+    z_rg, ok_rg = lcp_mod.lcp_bpp(Mreg, qp, mask, z0=z0,
+                                  skip=skip | ok_bp, max_iters=bpp_iters)
+    ok_rg = ok_rg & lcp_mod._verify(Mreg, qp, z_rg, mask, check_tol)
+    ok_2 = ok_bp | ok_rg
+    z = jnp.where(ok_bp, z_bp, z_rg)
+    # stage 3: full-depth principal pivoting on the original problem
+    z2, ok2 = lcp_mod.lcp_fast(M, q, mask, z0=z0, skip=ok_2 | skip)
+    ok12 = ok_2 | ok2
+    z = jnp.where(ok_2, z, z2)
+    # stage 4: the production Tikhonov sweep (very rare by now).
+    # MOBY_MPC_RESCUE=0 disables stages beyond 3 (debug).
     import os
 
     if os.environ.get("MOBY_MPC_RESCUE", "1") != "0":

@@ -245,9 +245,13 @@ def solve_principal(M, rhs, nonbas, na_cap=None):
             jnp.where(rowm, 0.0, 1.0).astype(dtype)
         )
         bc = jnp.where(rowm, P @ jnp.where(nonbas, rhs, 0.0), 0.0)
-        xc, ok = gj_solve_masked(subm, bc, rowm)
+        xc, gj_ok = gj_solve_masked(subm, bc, rowm)
         x = P.T @ xc
-        ok = ok & (cnt <= na_cap)
+        # a vanishing pivot is tolerated (the elimination skips it and the
+        # dependent coordinate stays zero — same robust continuation as
+        # the uncapped GJ route); only a working set EXCEEDING the cap is
+        # a hard failure
+        ok = (cnt <= na_cap) & jnp.all(jnp.isfinite(xc))
         return jnp.where(nonbas, x, 0.0), ok
     outer = nonbas[:, None] & nonbas[None, :]
     A = jnp.where(outer, M, 0.0) + jnp.diag(
@@ -909,20 +913,27 @@ def lcp_bpp(M, q, mask, z0=None, zero_tol=-1.0, max_iters: int = 24,
 
         nonbas_next = (s.nonbas & ~H1e) | H2e
 
-        if _use_gj(dtype) and na_cap is None:
+        if _use_gj(dtype):
             # pivot-skipping GJ sub-solves survive singular principal
             # submatrices (see lcp_fast.body): keep iterating instead of
             # aborting — the cold q<0 seed of a rank-deficient impact LCP
             # is singular almost always, and aborting there forced the
             # whole solve to the fallback path. Violated rows of the
             # skipped coordinates re-enter via H1/H2; _verify gates
-            # acceptance; max_iters bounds cycling.
-            solved_r = ninf == 0
+            # acceptance; max_iters bounds cycling. With a compaction cap,
+            # `solvable` means "working set fits the cap" — a cap-out IS
+            # a hard failure (the iterate is truncated, not pivot-skipped).
+            if na_cap is None:
+                solved_r = ninf == 0
+                failed_r = jnp.array(False)
+            else:
+                solved_r = (ninf == 0) & solvable
+                failed_r = ~solvable
             return _BPPState(
-                nonbas=jnp.where(solved_r, s.nonbas, nonbas_next),
+                nonbas=jnp.where(solved_r | failed_r, s.nonbas, nonbas_next),
                 z=z,
                 done=solved_r,
-                failed=jnp.array(False),
+                failed=failed_r,
                 iters=s.iters + 1,
                 ninf=jnp.where(improved, ninf, s.ninf),
                 p=jnp.maximum(p_next, 0),
