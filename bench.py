@@ -206,7 +206,14 @@ def bench_ur10_mpc():
     b.add_geom("ground", sc.PLANE, [0.0], pos=np.array([0, 0, -0.05]),
                quat=pq)
     b.set_contact_params(
-        "ground", mname, sc.ContactParams(epsilon=0.0, mu_coulomb=0.5, nk=4)
+        "ground", mname,
+        sc.ContactParams(
+            epsilon=0.0, mu_coulomb=0.5, nk=4,
+            # real-hull mode: 4-slot manifold cap (a resting manifold needs
+            # 3-4 points; the 128-vert wrist hull would otherwise claim
+            # VSLOT_CAP=16 slots = 6+ LCP rows each)
+            max_slots=4 if geom_mode == "real" else 0,
+        ),
     )
     scene, st = b.compile()
 

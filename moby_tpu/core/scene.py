@@ -339,6 +339,12 @@ class ContactParams:
     compliance: float = 0.0
     penalty_kp: float = 0.0
     penalty_kv: float = 0.0
+    # cap on this pair's contact-manifold slots (0 = kernel default).
+    # Vertex-driven kernels keep their max_slots DEEPEST points; a stable
+    # resting manifold needs 3-4, while a 128-vertex hull otherwise claims
+    # VSLOT_CAP slots and every slot is 6+ LCP rows — the dominant cost of
+    # articulated contact-MPC on mesh-hull geometry.
+    max_slots: int = 0
 
 
 def box_vertices(hx, hy, hz) -> np.ndarray:
@@ -899,6 +905,10 @@ class SceneBuilder:
         def _body_compliant(slot):
             kind, k, l = slot_owner[slot]
             return self.bodies[k].compliant if kind == "free" else False
+        # kinds whose kernels take an nslots argument and top-k to it (the
+        # only ones a per-pair max_slots cap may shrink)
+        _CAPPABLE = {K_PLANE_GENERIC, K_BOX_BOX, K_VERTS_HEIGHTMAP,
+                     K_TRIMESH_CONVEX}
         pair_slot0 = np.zeros(n_pairs, np.int32)
         pair_nslots = np.zeros(n_pairs, np.int32)
         for p, (ga, gb, kind) in enumerate(pair_rows):
@@ -906,7 +916,6 @@ class SceneBuilder:
                 custom_kernels[kind][1] if kind < 0 else _kind_nslots(kind, vmax)
             )
             pair_slot0[p] = len(s_pair)
-            pair_nslots[p] = nsl
             s1 = int(geom_slot[ga])
             s2 = int(geom_slot[gb])
             cp = None
@@ -920,6 +929,9 @@ class SceneBuilder:
                     break
             if cp is None:
                 cp = ContactParams()
+            if cp.max_slots > 0 and kind in _CAPPABLE:
+                nsl = min(nsl, cp.max_slots)
+            pair_nslots[p] = nsl
             for _ in range(nsl):
                 s_pair.append(p)
                 s_s1.append(s1)
@@ -1057,11 +1069,17 @@ class SceneBuilder:
                 )
             )
 
+        # groups keyed by (kind, nslots): pairs of one kind may carry
+        # different per-pair manifold caps (ContactParams.max_slots) and
+        # each cap compiles its own vectorized kernel call
         kind_groups = {}
         for p, (_, _, kind) in enumerate(pair_rows):
-            kind_groups.setdefault(int(kind), []).append(p)
+            kind_groups.setdefault(
+                (int(kind), int(pair_nslots[p])), []
+            ).append(p)
         kind_groups = {
-            k: {
+            key: {
+                "kind": key[0],
                 "pairs": np.array(v, np.int32),
                 "slots": np.concatenate(
                     [
@@ -1069,10 +1087,11 @@ class SceneBuilder:
                         for p in v
                     ]
                 ),
-                "nslots": int(pair_nslots[v[0]]),
-                **({"kernel": custom_kernels[k][0]} if k < 0 else {}),
+                "nslots": key[1],
+                **({"kernel": custom_kernels[key[0]][0]} if key[0] < 0
+                   else {}),
             }
-            for k, v in kind_groups.items()
+            for key, v in kind_groups.items()
         }
 
         scene = Scene(

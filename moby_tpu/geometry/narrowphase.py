@@ -960,7 +960,8 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
     pt_parts, n_parts, sd_parts = [], [], []
     pair_idx_parts, slot_idx_parts = [], []
 
-    for kind, grp in scene.kind_groups.items():
+    for grp in scene.kind_groups.values():
+        kind = grp["kind"]
         pairs = grp["pairs"]
         slots = grp["slots"]
         if len(pairs) == 0:

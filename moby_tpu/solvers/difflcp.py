@@ -177,7 +177,10 @@ def _mpc_xla(M, q, mask, z0, skip):
     # a capped-out/failed solve falls through the cascade below
     import os
 
-    bpp_iters = int(os.environ.get("MOBY_MPC_BPP_ITERS", "24"))
+    # measured on the ur10 MPC sweep (2026-08-21): 12 beats 8 (fails too
+    # often -> deeper stages fire) and 16/24 (lock-step iterations waste);
+    # stage-2's regularized BPP catches what 12 iterations can't
+    bpp_iters = int(os.environ.get("MOBY_MPC_BPP_ITERS", "12"))
     z_bp, ok_bp = lcp_mod.lcp_bpp(
         M, q, mask, z0=z0, skip=skip, max_iters=bpp_iters,
         na_cap=lcp_mod.bpp_compact_cap(q.shape[-1]) if lcp_mod._use_gj(dtype)

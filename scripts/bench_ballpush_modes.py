@@ -81,6 +81,20 @@ def main():
             out = sweep(batched)
         jax.block_until_ready(out)
         dt = time.time() - t0
+        # honest utilization: XLA's own FLOP estimate over wall time vs the
+        # v5e peak (197 TFLOP/s bf16 / ~half that for f32 MXU work). This
+        # is MFU, not duty cycle.
+        try:
+            ca = sweep.lower(batched).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            fl = float(ca.get("flops", 0.0))
+            if fl > 0:
+                print(f"   model FLOPs/sweep {fl/1e9:.2f} GF -> "
+                      f"{fl*reps/dt/1e12:.3f} TFLOP/s achieved "
+                      f"({100*fl*reps/dt/197e12:.2f}% of v5e bf16 peak)",
+                      flush=True)
+        except Exception as e:  # cost_analysis unsupported on some backends
+            print(f"   (cost_analysis unavailable: {e})", flush=True)
         print(f"{m}: {B * reps / dt:.1f} solves/s  (B={B}, compile+1st "
               f"{tc:.1f}s, mean cost {costs[m].mean():.6f})", flush=True)
     names = list(costs)
