@@ -13,6 +13,7 @@ Their state comes from the template at unpack.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple
 
 import numpy as np
@@ -183,7 +184,149 @@ def make_dynamics_rr(scene: sc.Scene, template: sc.State, dt):
         st2 = diffstep.dstep(scene, st, dt, expand(u), lcp_given=z)
         return pack(scene, st2)
 
+    def f_replay_fwd(x, u, z):
+        st = unpack(scene, cold, x)
+        st2 = diffstep.dstep(scene, st, dt, expand(u), lcp_given=z,
+                             lcp_fwd=True)
+        return pack(scene, st2)
+
+    # ---- block-sparse analytic-chain linearizer -------------------------
+    # The step factors as x' = [pp; vl + T dv(pp, vl, z)] with
+    #   (pp, vl) = smooth_pre(x, u)   (pose-integrated state, pre-contact
+    #                                  velocities — diffstep.dstep_pre)
+    #   dv       = contact delta      (diffstep.contact_dv_replay)
+    # and the contact half's Jacobian is block-sparse: the geometry-heavy
+    # path (narrow phase, contact Jacobians, Delassus) depends ONLY on the
+    # n_pose pose dims, while velocity/control tangents reach dv only
+    # through the LCP rhs — the cheap custom-JVP path. Forward-mode AD
+    # prunes tangent ops along unreached paths, so differentiating the two
+    # blocks SEPARATELY pushes 7·ne+nq tangents through the expensive graph
+    # instead of nx+nu (19 for ball-push: a ~2.7x cut of what dominated the
+    # backward sweep's device profile), then chains the blocks with a
+    # handful of small matmuls.
+    ne = len(idx)
+    n_pose = 7 * ne + scene.nq_art
+    n_vel = 6 * ne + scene.nv_art
+    # rows of [pp; vl] in pack() order (pose dims first, then vel dims)
+    pose_rows = np.concatenate([
+        np.arange(7 * ne),
+        13 * ne + np.arange(scene.nq_art),
+    ]).astype(np.int64)
+    vel_rows_x = np.concatenate([
+        7 * ne + np.arange(6 * ne),
+        13 * ne + scene.nq_art + np.arange(scene.nv_art),
+    ]).astype(np.int64)
+    perm_to_x = np.argsort(np.concatenate([pose_rows, vel_rows_x]))
+    # gc rows of dv feeding the packed velocity coords
+    # (pack order: all enabled vels (ne,3) then all omegas (ne,3) then qd_art)
+    idx64 = idx.astype(np.int64)
+    dv_rows = np.concatenate([
+        (6 * idx64[:, None] + np.arange(3)[None]).reshape(-1)
+        if ne else np.zeros(0, np.int64),
+        (6 * idx64[:, None] + 3 + np.arange(3)[None]).reshape(-1)
+        if ne else np.zeros(0, np.int64),
+        6 * scene.nb + np.arange(scene.nv_art, dtype=np.int64),
+    ])
+
+    def _pack_pv(st2):
+        pose_parts, vel_parts = [], []
+        if ne:
+            pose_parts += [st2.pos[idx].ravel(), st2.quat[idx].ravel()]
+            vel_parts += [st2.vel[idx].ravel(), st2.omega[idx].ravel()]
+        pose_parts.append(st2.q_art)
+        vel_parts.append(st2.qd_art)
+        return jnp.concatenate(pose_parts), jnp.concatenate(vel_parts)
+
+    def _unpack_pv(pp, vl):
+        st2 = cold
+        if ne:
+            st2 = st2.replace(
+                pos=_merge_bodies(scene, cold.pos, idx,
+                                  pp[: 3 * ne].reshape(ne, 3)),
+                quat=_merge_bodies(scene, cold.quat, idx,
+                                   pp[3 * ne : 7 * ne].reshape(ne, 4)),
+                vel=_merge_bodies(scene, cold.vel, idx,
+                                  vl[: 3 * ne].reshape(ne, 3)),
+                omega=_merge_bodies(scene, cold.omega, idx,
+                                    vl[3 * ne : 6 * ne].reshape(ne, 3)),
+            )
+        if scene.nq_art:
+            st2 = st2.replace(q_art=pp[7 * ne :])
+        if scene.nv_art:
+            st2 = st2.replace(qd_art=vl[6 * ne :])
+        return st2
+
+    # u never moves the pose half of the pre-contact step, and for pure
+    # free-body scenes its velocity block is known in closed form:
+    #   ∂vel/∂u_lin = dt·m⁻¹·λ·I₃,  ∂ω/∂u_ang = dt·λ·I⁻¹_w(quat')
+    # so stage 1 only jacfwd's over x (13 tangents instead of 19) and the
+    # u-columns cost two tiny block writes. Articulated scenes keep the
+    # jacfwd over u (∂q̇'/∂τ needs H(q)⁻¹).
+    analytic_u = not scene.arts
+    dt_c = float(dt)
+
+    def f_jac(x, u, z):
+        """(A, B) = (df/dx, df/du) of the replay step — identical values to
+        jacfwd(f_replay_fwd) assembled blockwise (see comment above)."""
+        dtype = x.dtype
+        if analytic_u:
+            def s1(x_):
+                st = unpack(scene, cold, x_)
+                st2 = diffstep.dstep_pre(scene, st, dt, expand(u))
+                pv = _pack_pv(st2)
+                return pv, pv
+
+            (J1p_x, J1v_x), (pp, vl) = jax.jacfwd(s1, has_aux=True)(x)
+            nu = u.shape[0]
+            J1p_u = jnp.zeros((n_pose, nu), dtype)
+            q2 = pp[3 * ne : 7 * ne].reshape(ne, 4)
+            from ..math import quaternion as quat_m
+
+            R = quat_m.to_matrix(q2)
+            Iinv_w = R @ scene.inv_inertia[idx] @ jnp.swapaxes(R, -1, -2)
+            lam = scene.dissipation_lambda[idx]
+            J1v_u = jnp.zeros((n_vel, nu), dtype)
+            eye3 = jnp.eye(3, dtype=dtype)
+            for j in range(ne):
+                c = dt_c * lam[j]
+                J1v_u = J1v_u.at[3 * j : 3 * j + 3, 6 * j : 6 * j + 3].set(
+                    c * scene.inv_mass[idx[j]] * eye3)
+                J1v_u = J1v_u.at[
+                    3 * ne + 3 * j : 3 * ne + 3 * j + 3,
+                    6 * j + 3 : 6 * j + 6,
+                ].set(c * Iinv_w[j])
+        else:
+            def s1(x_, u_):
+                st = unpack(scene, cold, x_)
+                st2 = diffstep.dstep_pre(scene, st, dt, expand(u_))
+                pv = _pack_pv(st2)
+                return pv, pv
+
+            (J1, aux) = jax.jacfwd(s1, argnums=(0, 1), has_aux=True)(x, u)
+            (J1p_x, J1p_u), (J1v_x, J1v_u) = J1
+            pp, vl = aux
+
+        def s2(pp_, vl_):
+            st2 = _unpack_pv(pp_, vl_)
+            return diffstep.contact_dv_replay(scene, st2, z)[dv_rows]
+
+        # two SEPARATE jacfwd calls so forward AD sees the block sparsity:
+        # pose tangents alone reach the geometry graph; velocity tangents
+        # alone reach only the LCP-rhs path. XLA CSE merges the duplicated
+        # primal subgraphs.
+        Dp = jax.jacfwd(s2, argnums=0)(pp, vl)      # (n_vel, n_pose)
+        Dv = jax.jacfwd(s2, argnums=1)(pp, vl)      # (n_vel, n_vel)
+
+        vx = J1v_x + Dp @ J1p_x + Dv @ J1v_x
+        vu = J1v_u + Dp @ J1p_u + Dv @ J1v_u
+        A = jnp.concatenate([J1p_x, vx], axis=0)[perm_to_x]
+        B = jnp.concatenate([J1p_u, vu], axis=0)[perm_to_x]
+        return A, B
+
     f_record.aux_init = aux_init
+    f_replay.fwd = f_replay_fwd
+    if os.environ.get("MOBY_MPC_BLOCK_JAC", "1") == "1":
+        f_replay.jac = f_jac
     return f, f_record, f_replay
 
 
@@ -232,6 +375,7 @@ def solve_batch(
     n_iters: int = 10,
     record_replay: bool = True,
     hoist_linearization: bool = False,
+    linearize_fwd: bool = False,
 ) -> ilqr.ILQRResult:
     """Batched contact-MPC solve through `ilqr.ilqr_batched`: identical
     per-scenario semantics to `vmap(solve)` but with the batch-voted
@@ -243,13 +387,18 @@ def solve_batch(
     pivoting solve (identical Jacobians; see ilqr.ilqr_batched). Auto-off
     for scenes where a step can solve twice (nonzero restitution).
     hoist_linearization: batch all H step Jacobians in one jacrev before
-    the Riccati scan (wins for dispatch-bound articulated steps)."""
+    the Riccati scan (wins for dispatch-bound articulated steps).
+    linearize_fwd: jacfwd through the custom-JVP replay (identical
+    Jacobians, no reverse-mode transpose machinery); needs record/replay,
+    silently falls back to jacrev when replay is unavailable."""
     import os
 
     scene = prob.scene
     f, f_rec, f_rep = make_dynamics_rr(scene, prob.template, prob.dt)
     if not record_replay:
         f_rec = f_rep = None
+    if f_rep is None:
+        linearize_fwd = False
     x0s = jax.vmap(lambda s: pack(scene, s))(states)
     nu = n_controls(scene)
     us0 = (
@@ -261,6 +410,10 @@ def solve_batch(
         f, cost, cost_final, x0s, us0, n_iters=n_iters,
         f_record=f_rec, f_replay=f_rep,
         hoist_linearization=hoist_linearization,
+        linearize_fwd=(
+            linearize_fwd
+            or os.environ.get("MOBY_MPC_LIN_FWD", "0") == "1"
+        ) and f_rep is not None,
         riccati_bf16=os.environ.get("MOBY_MPC_RICCATI_BF16", "0") == "1",
         line_search_steps=int(os.environ.get("MOBY_MPC_LS_STEPS", "8")),
     )

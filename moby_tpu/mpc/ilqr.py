@@ -229,6 +229,7 @@ def ilqr_batched(
     f_replay: Callable | None = None,
     hoist_linearization: bool = False,
     riccati_bf16: bool = False,
+    linearize_fwd: bool = False,
 ) -> ILQRResult:
     """Batch-level iLQR: like vmap(ilqr) but with a batch-voted early-exit
     backtracking line search.
@@ -267,6 +268,14 @@ def ilqr_batched(
     accumulation. The recursion feeds a line-searched descent direction,
     so reduced precision costs at most extra line-search/µ retries, never
     wrong physics; halves the HBM traffic of the backward sweep.
+
+    linearize_fwd (requires record/replay): compute the step Jacobians with
+    `jacfwd` through the custom-JVP replay step instead of `jacrev`. The
+    step has nx+nu≈nx inputs and nx outputs, so the tangent fan-out costs
+    the same flops — but forward mode keeps the natural op layouts where
+    reverse mode drags every op through transpose machinery (5-D transposed
+    tensors, data-formatting copies, `add_any` chains: measured ~45% of
+    ball-push backward-sweep device time).
     """
     B, nx = x0s.shape
     if us0.ndim == 2:
@@ -275,13 +284,25 @@ def ilqr_batched(
     dtype = x0s.dtype
 
     rr = f_record is not None and f_replay is not None
+    if linearize_fwd and not (rr and getattr(f_replay, "fwd", None)):
+        raise ValueError(
+            "linearize_fwd needs record/replay with a custom-JVP replay "
+            "step (f_replay.fwd); the live pivoting solve is custom_vjp "
+            "and cannot be forward-differentiated")
 
     fB = jax.vmap(f)
     fB_rec = jax.vmap(f_record) if rr else None
     costB = jax.vmap(cost)
     cost_finalB = jax.vmap(cost_final)
 
-    if rr:
+    if rr and linearize_fwd and getattr(f_replay, "jac", None) is not None:
+        # block-sparse analytic-chain Jacobian (see contact_mpc.f_jac):
+        # pose-only tangents through the geometry graph, velocity tangents
+        # through the LCP-rhs path, chained with small matmuls
+        fxu_fn = jax.vmap(f_replay.jac)
+    elif rr and linearize_fwd:
+        fxu_fn = jax.vmap(jax.jacfwd(f_replay.fwd, argnums=(0, 1)))
+    elif rr:
         fxu_fn = jax.vmap(jax.jacrev(f_replay, argnums=(0, 1)))
     else:
         fxu_fn = jax.vmap(jax.jacrev(f, argnums=(0, 1)))
@@ -342,8 +363,13 @@ def ilqr_batched(
             uf = uss.reshape(B * H, nu)
             if rr:
                 zf = zss.reshape(B * H, zss.shape[-1])
-                A_f, B_f = jax.vmap(jax.jacrev(f_replay, argnums=(0, 1)))(
-                    xf, uf, zf)
+                if linearize_fwd and getattr(f_replay, "jac", None):
+                    jac = f_replay.jac
+                elif linearize_fwd:
+                    jac = jax.jacfwd(f_replay.fwd, argnums=(0, 1))
+                else:
+                    jac = jax.jacrev(f_replay, argnums=(0, 1))
+                A_f, B_f = jax.vmap(jac)(xf, uf, zf)
             else:
                 A_f, B_f = jax.vmap(jax.jacrev(f, argnums=(0, 1)))(xf, uf)
             hoisted = (
@@ -361,46 +387,49 @@ def ilqr_batched(
             else:
                 x_k, u_k = inp          # (B, nx), (B, nu)
                 A_k, B_k = fxu_fn(x_k, u_k)
+            # fused quadratic expansion: with F = [A B] (B, nx, nx+nu) the
+            # three Q-blocks come from ONE congruence FᵀVF and both gradient
+            # rows from ONE FᵀVx — the MPC sweep is tiny-op latency-bound,
+            # so 18 small einsums collapsed to 7 is wall-clock, not style
+            F = jnp.concatenate([A_k, B_k], axis=2)        # (B, nx, nx+nu)
             if riccati_bf16:
                 bf = jnp.bfloat16
-                A_q, B_q, V_q = A_k.astype(bf), B_k.astype(bf), Vxx.astype(bf)
+                F_q, V_q = F.astype(bf), Vxx.astype(bf)
                 qf = dict(preferred_element_type=dtype)
             else:
-                A_q, B_q, V_q = A_k, B_k, Vxx
+                F_q, V_q = F, Vxx
                 qf = {}
-            Qx = cx_fn(x_k, u_k) + jnp.einsum("bij,bi->bj", A_k, Vx)
-            Qu = cu_fn(x_k, u_k) + jnp.einsum("bij,bi->bj", B_k, Vx)
-            Qxx = cxx_fn(x_k, u_k) + jnp.einsum(
-                "bji,bjk,bkl->bil", A_q, V_q, A_q, **qf)
-            Quu = cuu_fn(x_k, u_k) + jnp.einsum(
-                "bji,bjk,bkl->bil", B_q, V_q, B_q, **qf)
-            Qux = cux_fn(x_k, u_k) + jnp.einsum(
-                "bji,bjk,bkl->bil", B_q, V_q, A_q, **qf)
+            FtV = jnp.einsum("bji,bj->bi", F, Vx)          # [AᵀVx; BᵀVx]
+            G = jnp.einsum("bji,bjk,bkl->bil", F_q, V_q, F_q, **qf)
+            Qx = cx_fn(x_k, u_k) + FtV[:, :nx]
+            Qu = cu_fn(x_k, u_k) + FtV[:, nx:]
+            Qxx = cxx_fn(x_k, u_k) + G[:, :nx, :nx]
+            Quu = cuu_fn(x_k, u_k) + G[:, nx:, nx:]
+            Qux = cux_fn(x_k, u_k) + G[:, nx:, :nx]
             Quu = 0.5 * (Quu + jnp.swapaxes(Quu, -1, -2))
             Quu_reg = Quu + mus[:, None, None] * eye[None]
             Quu_inv, ok_k = _pd_inverse(Quu_reg)
-            k = -jnp.einsum("bij,bj->bi", Quu_inv, Qu)
-            K = -jnp.einsum("bij,bjk->bik", Quu_inv, Qux)
-            Vx2 = (
-                Qx
-                + jnp.einsum("bji,bjk,bk->bi", K, Quu, k)
-                + jnp.einsum("bji,bj->bi", K, Qu)
-                + jnp.einsum("bji,bj->bi", Qux, k)
-            )
-            Vxx2 = (
-                Qxx
-                + jnp.einsum("bji,bjk,bkl->bil", K, Quu, K)
-                + jnp.einsum("bji,bjk->bik", K, Qux)
-                + jnp.einsum("bji,bjk->bik", Qux, K)
-            )
+            # gains + value recursion through stacked [k K] = -Quu⁻¹ [Qu Qux]
+            W = jnp.concatenate([Qu[:, :, None], Qux], axis=2)  # (B,nu,1+nx)
+            kK = -jnp.einsum("bij,bjk->bik", Quu_inv, W)
+            k = kK[:, :, 0]
+            K = kK[:, :, 1:]
+            T1 = jnp.einsum("bji,bjk->bik", kK, W)          # kKᵀ[Qu Qux]
+            T2 = jnp.einsum("bji,bjk->bik", kK,
+                            jnp.einsum("bij,bjk->bik", Quu, kK))
+            Vx2 = Qx + T2[:, 1:, 0] + T1[:, 1:, 0] + T1[:, 0, 1:]
+            Vxx2 = Qxx + T2[:, 1:, 1:] + T1[:, 1:, 1:] + jnp.swapaxes(
+                T1[:, 1:, 1:], -1, -2)
             Vxx2 = 0.5 * (Vxx2 + jnp.swapaxes(Vxx2, -1, -2))
-            ok_k = ok_k & jnp.all(jnp.isfinite(k), axis=-1) & jnp.all(
-                jnp.isfinite(K.reshape(B, -1)), axis=-1)
+            # only k needs an explicit finite check ((B, nu) — cheap): a
+            # non-finite K poisons the forward rollout cost, which the
+            # line search's isfinite gate already rejects identically
+            ok_k = ok_k & jnp.all(jnp.isfinite(k), axis=-1)
             # expected cost change at alpha=1: sum_k k.Qu + 1/2 k.Quu.k
             # (the standard iLQG model decrease — used to detect converged
             # members so they don't drive the batch line-search vote)
-            dv1_k = jnp.einsum("bi,bi->b", k, Qu)
-            dv2_k = jnp.einsum("bi,bij,bj->b", k, Quu, k)
+            dv1_k = T1[:, 0, 0]
+            dv2_k = T2[:, 0, 0]
             return (Vx2, Vxx2, ok & ok_k, dv1 + dv1_k, dv2 + dv2_k), (k, K)
 
         inputs = [

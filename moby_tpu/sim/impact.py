@@ -167,6 +167,11 @@ class Problem(NamedTuple):
     Jall: jnp.ndarray = None  # (3K+NL, ngc) rows [Jn; Js; Jt; Jl]
     A: jnp.ndarray = None     # (3K+NL, 3K+NL) Jall Minv Jall^T
     bv: jnp.ndarray = None    # (3K+NL,) Jall v
+    # free-body block-diagonal inverse inertia (nb, 6, 6), set for scenes
+    # with no articulated bodies/bilaterals: inv(M) products run as per-body
+    # einsums, so the dense (ngc, ngc) Minv (and, under the MPC linearizers,
+    # its full tangent stack) never enters the hot path
+    Minv_blk: jnp.ndarray = None
 
 
 def _contact_rows(scene, pt: PoseTable, con: Contacts, act, d_vec):
@@ -184,6 +189,38 @@ def _contact_rows(scene, pt: PoseTable, con: Contacts, act, d_vec):
     return J
 
 
+def free_inv_inertia_blocks(scene: sc.Scene, quat_b):
+    """(nb, 6, 6) per-free-body inverse spatial inertia blocks in world.
+
+    The rotation chain runs only over statically-live bodies (disabled
+    fixtures have zero inverse inertia; trimming their dead rows halves the
+    tangent fan-out of this block under the MPC linearizers)."""
+    import numpy as _np
+
+    dtype = quat_b.dtype
+    nb = scene.nb
+    live_np = _np.asarray(scene.enabled) & (_np.asarray(scene.mass) > 0)
+    il = _np.nonzero(live_np)[0]
+    gather = len(il) < nb
+    q_l = quat_b[il] if gather else quat_b
+    R = quat.to_matrix(q_l)
+    Iinv_l = R @ scene.inv_inertia[il] @ jnp.swapaxes(R, -1, -2)
+    if gather:
+        Iinv_w = jnp.zeros((nb, 3, 3), dtype).at[il].set(Iinv_l)
+    else:
+        Iinv_w = Iinv_l
+    eye3 = jnp.eye(3, dtype=dtype)
+    z3 = jnp.zeros((nb, 3, 3), dtype)
+    lin = scene.inv_mass[:, None, None] * eye3[None]
+    return jnp.concatenate(
+        [
+            jnp.concatenate([lin, z3], axis=-1),
+            jnp.concatenate([z3, Iinv_w], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def gc_inv_inertia(scene: sc.Scene, st, quat_b):
     """Dense (ngc, ngc) inverse inertia: 6x6 free-body blocks + per-AB
     joint-space H(q)^{-1} (the reference's X, compute_X :1590)."""
@@ -191,18 +228,7 @@ def gc_inv_inertia(scene: sc.Scene, st, quat_b):
     dtype = st.pos.dtype
     nb = scene.nb
     if nb:
-        R = quat.to_matrix(quat_b)
-        Iinv_w = R @ scene.inv_inertia @ jnp.swapaxes(R, -1, -2)
-        eye3 = jnp.eye(3, dtype=dtype)
-        z3 = jnp.zeros((nb, 3, 3), dtype)
-        lin = scene.inv_mass[:, None, None] * eye3[None]
-        blk = jnp.concatenate(
-            [
-                jnp.concatenate([lin, z3], axis=-1),
-                jnp.concatenate([z3, Iinv_w], axis=-1),
-            ],
-            axis=-2,
-        )  # (nb, 6, 6)
+        blk = free_inv_inertia_blocks(scene, quat_b)  # (nb, 6, 6)
         # block-diagonal placement by pad+concat (per-body scatter .at[].set
         # ops and the einsum-with-identity alternative both showed up as
         # real device time in the MPC profile — the einsum's VJP cost 4 ms
@@ -297,10 +323,20 @@ def assemble_problem(scene, st, pt: PoseTable, con: Contacts, act, act_lim) -> P
         Minv = bil.project_inv_inertia(Minv, Jb)
     v = gc_velocity(scene, st)
 
-    A = (Jall @ Minv) @ Jall.T
+    # free-body scenes: Delassus via per-body 6x6 blocks. Same contraction,
+    # but the dense Minv becomes dead in graphs that never consume it (the
+    # MPC replay path), which prunes its tangent stack under linearization.
+    Minv_blk = None
+    if not scene.arts and not scene.bilaterals and scene.nb:
+        Minv_blk = free_inv_inertia_blocks(scene, st.quat)
+        Jr = Jall.reshape(-1, scene.nb, 6)
+        A = jnp.einsum("anp,npq,bnq->ab", Jr, Minv_blk, Jr)
+    else:
+        A = (Jall @ Minv) @ Jall.T
     bv = Jall @ v
 
     return Problem(
+        Minv_blk=Minv_blk,
         Jn=Jall[:K], Js=Jall[K : 2 * K], Jt=Jall[2 * K : 3 * K],
         Jl=Jall[3 * K :], Minv=Minv,
         Ann=A[:K, :K], Ans=A[:K, K : 2 * K], Ant=A[:K, 2 * K : 3 * K],
@@ -552,8 +588,15 @@ def resolve_impacts(
         and (scene.n_limits == 0
              or float(_np.max(_np.asarray(scene.lim_eps))) == 0.0)
     )
+    def _minv_apply(w):
+        if p.Minv_blk is not None:
+            return jnp.einsum(
+                "npq,nq->np", p.Minv_blk, w.reshape(scene.nb, 6)
+            ).reshape(-1)
+        return p.Minv @ w
+
     if eps_all_zero:
-        dv = p.Minv @ (p.Jall.T @ imp1)
+        dv = _minv_apply(p.Jall.T @ imp1)
         z_f = z
         dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
         if scene.bilaterals:
@@ -614,7 +657,7 @@ def resolve_impacts(
         + jnp.where(changed, imp2, zero)
         + jnp.where(need_resolve, imp3, zero)
     )
-    dv = p.Minv @ (p.Jall.T @ imp_tot)
+    dv = _minv_apply(p.Jall.T @ imp_tot)
     z_f = jnp.where(need_resolve, z3, z)
 
     dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))

@@ -47,19 +47,39 @@ MAX_CA_ITERS = 32
 
 def forward_dynamics_free(scene: sc.Scene, quat_b, omega, vel=None):
     """Free-body accelerations: gravity + gyroscopic moment + drag forces
-    (Ravelin RigidBodyd::calc_fwd_dyn + StokesDragForce/DampingForce)."""
-    live = scene.enabled & (scene.mass > 0)
+    (Ravelin RigidBodyd::calc_fwd_dyn + StokesDragForce/DampingForce).
+
+    The rotation/inertia chain runs only over the statically-live bodies
+    (enabled & massive): disabled fixtures' rows are exact zeros anyway,
+    and under the MPC linearizers every op here fans out over nx+nu
+    tangents — trimming dead rows at trace time halves that for scenes
+    with a ground fixture."""
+    import numpy as _np
+
+    live_np = _np.asarray(scene.enabled) & (_np.asarray(scene.mass) > 0)
+    live = jnp.asarray(live_np)
     a_lin = jnp.where(live[:, None], scene.gravity[None, :], 0.0)
-    R = quat.to_matrix(quat_b)
-    Iw = R @ scene.inertia @ jnp.swapaxes(R, -1, -2)
-    Iw_inv = R @ scene.inv_inertia @ jnp.swapaxes(R, -1, -2)
-    gyro = -jnp.cross(omega, jnp.einsum("bij,bj->bi", Iw, omega))
     if vel is not None:
-        # F = -b v, τ = -b_ang ω (src/StokesDragForce.cpp:33-62)
+        # F = -b v (src/StokesDragForce.cpp:33-62)
         a_lin = a_lin - scene.inv_mass[:, None] * scene.drag_lin[:, None] * vel
-        gyro = gyro - scene.drag_ang[:, None] * omega
-    a_ang = jnp.einsum("bij,bj->bi", Iw_inv, gyro)
-    a_ang = jnp.where(live[:, None], a_ang, 0.0)
+    il = _np.nonzero(live_np)[0]
+    nb = scene.nb
+    if len(il) == 0:
+        return a_lin, jnp.zeros_like(omega)
+    gather = len(il) < nb
+    q_l = quat_b[il] if gather else quat_b
+    w_l = omega[il] if gather else omega
+    R = quat.to_matrix(q_l)
+    Iw = R @ scene.inertia[il] @ jnp.swapaxes(R, -1, -2)
+    Iw_inv = R @ scene.inv_inertia[il] @ jnp.swapaxes(R, -1, -2)
+    gyro = -jnp.cross(w_l, jnp.einsum("bij,bj->bi", Iw, w_l))
+    if vel is not None:
+        # τ = -b_ang ω
+        gyro = gyro - scene.drag_ang[il, None] * w_l
+    a_ang_l = jnp.einsum("bij,bj->bi", Iw_inv, gyro)
+    if not gather:
+        return a_lin, jnp.where(live[:, None], a_ang_l, 0.0)
+    a_ang = jnp.zeros_like(omega).at[il].set(a_ang_l)
     return a_lin, a_ang
 
 

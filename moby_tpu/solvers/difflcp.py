@@ -61,9 +61,10 @@ def _compact_cap(n: int) -> int:
     return na
 
 
-def _prep_bwd(M, z, mask):
+def _prep_bwd(M, z, mask, transpose: bool = True):
     """Residuals for the IFT pullback: the active set and the explicit
-    inverse of the masked transpose system M_AA^T.
+    inverse of the masked system M_AA^T (reverse mode) or M_AA (forward
+    mode, `transpose=False`).
 
     The pullback is linear in zbar but `jacrev` evaluates it once per output
     basis vector (nx of them per iLQR backward step); an iterative masked
@@ -80,6 +81,7 @@ def _prep_bwd(M, z, mask):
     active = (z > eps) & mask
     dtype = M.dtype
     n = z.shape[-1]
+    MT = M.T if transpose else M
     na = _compact_cap(n) if lcp_mod._use_gj(dtype) else 0
     if na:
         # compact: gather the active rows/cols of M^T to the top-left
@@ -88,7 +90,7 @@ def _prep_bwd(M, z, mask):
         cnt = jnp.sum(active)
         P = jax.nn.one_hot(idx, n, dtype=dtype)            # (NA, n)
         rowm = jnp.arange(na) < cnt
-        sub = (P @ M.T) @ P.T                               # (NA, NA)
+        sub = (P @ MT) @ P.T                                # (NA, NA)
         subm = jnp.where(rowm[:, None] & rowm[None, :], sub, 0.0) + jnp.diag(
             jnp.where(rowm, 0.0, 1.0).astype(dtype)
         )
@@ -100,7 +102,7 @@ def _prep_bwd(M, z, mask):
         inv_c = jnp.where(bad, jnp.full_like(inv_c, jnp.nan), inv_c)
         return active, (inv_c, P)
     outer = active[:, None] & active[None, :]
-    A_T = jnp.where(outer, M.T, 0.0) + jnp.diag(
+    A_T = jnp.where(outer, MT, 0.0) + jnp.diag(
         jnp.where(active, 0.0, 1.0).astype(dtype)
     )
     if lcp_mod._use_gj(dtype):
@@ -274,3 +276,44 @@ def _bwd_given(res, zbar):
 
 
 solve_lcp_given.defvjp(_fwd_given, _bwd_given)
+
+
+@jax.custom_jvp
+def solve_lcp_given_fwd(M, q, mask, z):
+    """Forward-mode (`jacfwd`) twin of :func:`solve_lcp_given`.
+
+    Same primal (return the recorded solution) and the same IFT derivative,
+    expressed as a JVP: on the active set A,
+
+        dz_A = -M_AA^{-1} (dM_A: z + dq_A),   dz_{A^c} = 0.
+
+    Why it exists: `jacrev` through the replay step drags the whole step
+    graph through JAX's transpose machinery — on TPU that lowers to 5-D
+    transposed layouts, data-formatting copies and `add_any` accumulation
+    chains that dominate the (tiny-op, latency-bound) MPC backward sweep.
+    `jacfwd` pushes the 19 tangent basis vectors through the natural forward
+    graph instead: no transposes, no cotangent accumulation. Under `jacfwd`'s
+    vmap the primal operands stay unbatched, so the masked inverse here is
+    still computed ONCE per step, with each tangent a matvec against it —
+    identical arithmetic to the reverse pullback, minus the layout churn.
+
+    z is data (its tangent is ignored), exactly as the VJP drops z's
+    cotangent.
+    """
+    return z
+
+
+@solve_lcp_given_fwd.defjvp
+def _jvp_given(primals, tangents):
+    M, q, mask, z = primals
+    dM, dq, _, _ = tangents
+    active, Ainv = _prep_bwd(M, z, mask, transpose=False)
+    rhs = jnp.einsum("ij,j->i", dM, z) + dq
+    rhs = jnp.where(active, rhs, jnp.zeros_like(rhs))
+    if isinstance(Ainv, tuple):
+        inv_c, P = Ainv
+        dz = -(P.T @ (inv_c @ (P @ rhs)))
+    else:
+        dz = -(Ainv @ rhs)
+    dz = jnp.where(active, dz, jnp.zeros_like(dz))
+    return z, dz

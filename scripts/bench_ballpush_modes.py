@@ -59,8 +59,12 @@ def main():
     prob, batched, cost, cost_final = build(B)
     kws = {
         "plain": dict(record_replay=False),
-        "rr": dict(record_replay=True),
-        "rr_hoist": dict(record_replay=True, hoist_linearization=True),
+        "rr": dict(record_replay=True, linearize_fwd=False),
+        "rr_fwd": dict(record_replay=True, linearize_fwd=True),
+        "rr_hoist": dict(record_replay=True, hoist_linearization=True,
+                         linearize_fwd=False),
+        "rr_fwd_hoist": dict(record_replay=True, hoist_linearization=True,
+                             linearize_fwd=True),
         "hoist": dict(record_replay=False, hoist_linearization=True),
     }
     costs = {}
