@@ -115,8 +115,8 @@ def bench_mpc():
 
     H = 50
     # default batch chosen by measurement (round 3): 256 -> 2923/s,
-    # 512 -> 3389/s, 1024 -> 3500/s on the v5e
-    B = int(os.environ.get("MOBY_BENCH_MPC_B", "1024"))
+    # round-4 sweep on the v5e: 1024 -> 7731/s, 1536 -> 7894/s, 2048 drops
+    B = int(os.environ.get("MOBY_BENCH_MPC_B", "1536"))
     n_iters = 4
     prob = contact_mpc.MPCProblem(scene=scene, template=st, dt=0.02, horizon=H)
     target = jnp.array([0.5, 0.0], st.pos.dtype)

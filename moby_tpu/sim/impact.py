@@ -167,11 +167,15 @@ class Problem(NamedTuple):
     Jall: jnp.ndarray = None  # (3K+NL, ngc) rows [Jn; Js; Jt; Jl]
     A: jnp.ndarray = None     # (3K+NL, 3K+NL) Jall Minv Jall^T
     bv: jnp.ndarray = None    # (3K+NL,) Jall v
-    # free-body block-diagonal inverse inertia (nb, 6, 6), set for scenes
+    # free-body block-diagonal inverse inertia (n_live, 6, 6), set for scenes
     # with no articulated bodies/bilaterals: inv(M) products run as per-body
     # einsums, so the dense (ngc, ngc) Minv (and, under the MPC linearizers,
     # its full tangent stack) never enters the hot path
     Minv_blk: jnp.ndarray = None
+    # live-compressed contact rows (3K+NL, n_live, 6) for the same scenes:
+    # J products (Delassus, bv, impulse application) contract over live
+    # bodies only, without a full-ngc Jall detour in the hot graph
+    Jr_live: jnp.ndarray = None
 
 
 def _contact_rows(scene, pt: PoseTable, con: Contacts, act, d_vec):
@@ -189,29 +193,26 @@ def _contact_rows(scene, pt: PoseTable, con: Contacts, act, d_vec):
     return J
 
 
-def free_inv_inertia_blocks(scene: sc.Scene, quat_b):
-    """(nb, 6, 6) per-free-body inverse spatial inertia blocks in world.
-
-    The rotation chain runs only over statically-live bodies (disabled
-    fixtures have zero inverse inertia; trimming their dead rows halves the
-    tangent fan-out of this block under the MPC linearizers)."""
+def _live_free_idx(scene: sc.Scene):
     import numpy as _np
 
-    dtype = quat_b.dtype
-    nb = scene.nb
     live_np = _np.asarray(scene.enabled) & (_np.asarray(scene.mass) > 0)
-    il = _np.nonzero(live_np)[0]
-    gather = len(il) < nb
-    q_l = quat_b[il] if gather else quat_b
-    R = quat.to_matrix(q_l)
-    Iinv_l = R @ scene.inv_inertia[il] @ jnp.swapaxes(R, -1, -2)
-    if gather:
-        Iinv_w = jnp.zeros((nb, 3, 3), dtype).at[il].set(Iinv_l)
-    else:
-        Iinv_w = Iinv_l
+    return _np.nonzero(live_np)[0]
+
+
+def free_inv_inertia_blocks_live(scene: sc.Scene, quat_b):
+    """(n_live, 6, 6) inverse spatial inertia blocks of the statically-live
+    free bodies, in world frame. Live-compressed end to end: slicing a full
+    (nb, ...) table instead costs a padded cotangent per linearization
+    tangent under the MPC backward pass."""
+    dtype = quat_b.dtype
+    il = _live_free_idx(scene)
+    R = quat.to_matrix(quat_b[il])
+    Iinv_w = R @ scene.inv_inertia[il] @ jnp.swapaxes(R, -1, -2)
+    nl = len(il)
     eye3 = jnp.eye(3, dtype=dtype)
-    z3 = jnp.zeros((nb, 3, 3), dtype)
-    lin = scene.inv_mass[:, None, None] * eye3[None]
+    z3 = jnp.zeros((nl, 3, 3), dtype)
+    lin = scene.inv_mass[il, None, None] * eye3[None]
     return jnp.concatenate(
         [
             jnp.concatenate([lin, z3], axis=-1),
@@ -219,6 +220,18 @@ def free_inv_inertia_blocks(scene: sc.Scene, quat_b):
         ],
         axis=-2,
     )
+
+
+def free_inv_inertia_blocks(scene: sc.Scene, quat_b):
+    """(nb, 6, 6) per-free-body inverse spatial inertia blocks in world
+    (zero rows for disabled/massless fixtures)."""
+    dtype = quat_b.dtype
+    nb = scene.nb
+    il = _live_free_idx(scene)
+    blk_l = free_inv_inertia_blocks_live(scene, quat_b)
+    if len(il) == nb:
+        return blk_l
+    return jnp.zeros((nb, 6, 6), dtype).at[il].set(blk_l)
 
 
 def gc_inv_inertia(scene: sc.Scene, st, quat_b):
@@ -323,20 +336,41 @@ def assemble_problem(scene, st, pt: PoseTable, con: Contacts, act, act_lim) -> P
         Minv = bil.project_inv_inertia(Minv, Jb)
     v = gc_velocity(scene, st)
 
-    # free-body scenes: Delassus via per-body 6x6 blocks. Same contraction,
+    # free-body scenes: Delassus via per-body 6x6 blocks, restricted to the
+    # statically-live bodies (Jall's columns for disabled fixtures are
+    # identically zero: their PoseTable.W rows are zero). Same contraction,
     # but the dense Minv becomes dead in graphs that never consume it (the
-    # MPC replay path), which prunes its tangent stack under linearization.
+    # MPC replay path), which prunes its tangent stack under linearization,
+    # and the dead-body blocks never enter the products at all.
     Minv_blk = None
-    if not scene.arts and not scene.bilaterals and scene.nb:
-        Minv_blk = free_inv_inertia_blocks(scene, st.quat)
-        Jr = Jall.reshape(-1, scene.nb, 6)
-        A = jnp.einsum("anp,npq,bnq->ab", Jr, Minv_blk, Jr)
+    Jr_live = None
+    if not scene.arts and not scene.bilaterals and scene.nb and K:
+        import numpy as _np
+
+        il = _live_free_idx(scene)
+        Minv_blk = free_inv_inertia_blocks_live(scene, st.quat)
+        # live-compressed rows straight from the per-slot wrenches: the
+        # slot→body incidence is static, so J[k]'s block for live body b is
+        # ±w1/w2 — no (·, ngc) intermediate and no einsum against the
+        # constant W table in the hot graph (NL == 0 here: joint limits
+        # imply articulated bodies)
+        s1_np = _np.concatenate([_np.asarray(scene.slot_s1)] * 3)
+        s2_np = _np.concatenate([_np.asarray(scene.slot_s2)] * 3)
+        m1 = jnp.asarray((s1_np[:, None] == il[None, :]).astype(
+            _np.dtype(dtype)))
+        m2 = jnp.asarray((s2_np[:, None] == il[None, :]).astype(
+            _np.dtype(dtype)))
+        Jr_live = (m1[:, :, None] * w1[:, None, :]
+                   - m2[:, :, None] * w2[:, None, :])  # (3K, n_live, 6)
+        A = jnp.einsum("anp,npq,bnq->ab", Jr_live, Minv_blk, Jr_live)
+        bv = jnp.einsum(
+            "anp,np->a", Jr_live, v.reshape(scene.nb, 6)[il])
     else:
         A = (Jall @ Minv) @ Jall.T
-    bv = Jall @ v
+        bv = Jall @ v
 
     return Problem(
-        Minv_blk=Minv_blk,
+        Minv_blk=Minv_blk, Jr_live=Jr_live,
         Jn=Jall[:K], Js=Jall[K : 2 * K], Jt=Jall[2 * K : 3 * K],
         Jl=Jall[3 * K :], Minv=Minv,
         Ann=A[:K, :K], Ans=A[:K, K : 2 * K], Ant=A[:K, 2 * K : 3 * K],
@@ -588,15 +622,24 @@ def resolve_impacts(
         and (scene.n_limits == 0
              or float(_np.max(_np.asarray(scene.lim_eps))) == 0.0)
     )
-    def _minv_apply(w):
-        if p.Minv_blk is not None:
-            return jnp.einsum(
-                "npq,nq->np", p.Minv_blk, w.reshape(scene.nb, 6)
-            ).reshape(-1)
-        return p.Minv @ w
+    def _impulse_to_dv(imp):
+        """dv = inv(M) Jallᵀ imp, through the live-compressed blocks when
+        the scene provides them (free bodies, no bilaterals)."""
+        if p.Jr_live is not None:
+            import numpy as _np
+
+            il = _live_free_idx(scene)
+            w_l = jnp.einsum("anp,a->np", p.Jr_live, imp)
+            dv_l = jnp.einsum("npq,nq->np", p.Minv_blk, w_l)
+            if len(il) == scene.nb:
+                return dv_l.reshape(-1)
+            rows = (6 * il[:, None] + _np.arange(6)[None]).reshape(-1)
+            return jnp.zeros(scene.ngc, imp.dtype).at[rows].set(
+                dv_l.reshape(-1))
+        return p.Minv @ (p.Jall.T @ imp)
 
     if eps_all_zero:
-        dv = _minv_apply(p.Jall.T @ imp1)
+        dv = _impulse_to_dv(imp1)
         z_f = z
         dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
         if scene.bilaterals:
@@ -657,7 +700,7 @@ def resolve_impacts(
         + jnp.where(changed, imp2, zero)
         + jnp.where(need_resolve, imp3, zero)
     )
-    dv = _minv_apply(p.Jall.T @ imp_tot)
+    dv = _impulse_to_dv(imp_tot)
     z_f = jnp.where(need_resolve, z3, z)
 
     dv = jnp.where(any_impact, dv, jnp.zeros_like(dv))
