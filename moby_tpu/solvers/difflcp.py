@@ -197,8 +197,19 @@ def _mpc_xla(M, q, mask, z0, skip):
     # stage is ~100x shallower than the full Tikhonov/lcp_fast sweep that
     # otherwise fires lock-step across the batch on every degenerate step
     # (measured 5x wall-time of the whole ur10 MPC sweep).
+    # stage-2 regularizer: 10·sqrt(eps)·|M| (MOBY_MPC_LAM_SCALE overrides
+    # the 10). Measured on the ur10 real-hull workload (2026-08-21): at 1.0
+    # the near-coplanar 4-point wrist manifolds still fail the regularized
+    # BPP and the full Tikhonov rescue fires lock-step every sweep (25.2
+    # solves/s); at 10 stage 2 absorbs them (104.9 solves/s) with member
+    # costs unchanged to 0.5% and a CPU f64 oracle mean within 5% (local
+    # iLQR branch scatter, same sign/magnitude at both settings). Within
+    # the reference's own expanding Tikhonov sweep range
+    # (lcp_*_regularized, src/LCP.cpp:353-487).
+    lam_scale = float(os.environ.get("MOBY_MPC_LAM_SCALE", "10.0"))
     lam = (
-        jnp.asarray(np.sqrt(np.finfo(np.dtype(dtype)).eps), dtype)
+        jnp.asarray(
+            lam_scale * np.sqrt(np.finfo(np.dtype(dtype)).eps), dtype)
         * lcp_mod._masked_norm_inf(Mp, mask)
     )
     n = q.shape[-1]

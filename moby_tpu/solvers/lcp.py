@@ -122,6 +122,79 @@ def gj_solve_masked(A, b, active):
     return b, ok
 
 
+def _gj_invert_small(D):
+    """(E, minpiv) for a small (…, bs, bs) block: unpivoted Gauss–Jordan
+    with the same vanishing-pivot skip as `gj_solve_masked` (skipped rows of
+    E are zero), carrying the identity. bs is static and tiny (panel width),
+    so the loop unrolls into fused elementwise ops."""
+    bs = D.shape[-1]
+    dtype = D.dtype
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny * 1e8, dtype)
+    E = jnp.broadcast_to(jnp.eye(bs, dtype=dtype), D.shape)
+    minpiv = jnp.full(D.shape[:-2], jnp.inf, dtype)
+    for k in range(bs):
+        prow = D[..., k, :]
+        erow = E[..., k, :]
+        piv = prow[..., k]
+        apiv = jnp.abs(piv)
+        minpiv = jnp.minimum(minpiv, apiv)
+        inv = jnp.where(apiv > tiny,
+                        1.0 / jnp.where(apiv > tiny, piv, 1.0), 0.0)
+        prow = prow * inv[..., None]
+        erow = erow * inv[..., None]
+        col = D[..., :, k]
+        factor = col * (1.0 - jax.nn.one_hot(k, bs, dtype=dtype))
+        D = D - factor[..., None] * prow[..., None, :]
+        E = E - factor[..., None] * erow[..., None, :]
+        D = D.at[..., k, :].set(prow)
+        E = E.at[..., k, :].set(erow)
+    return E, minpiv
+
+
+# static panel width of the blocked elimination (env-tunable for bench)
+import os as _os
+
+_GJ_BLOCK = int(_os.environ.get("MOBY_GJ_BLOCK", "8"))
+# masked systems at least this large route through the blocked elimination
+# (0 disables)
+_GJ_BLOCK_MIN_N = int(_os.environ.get("MOBY_GJ_BLOCK_MIN_N", "32"))
+
+
+def gj_solve_masked_blocked(A, b, active, bs: int = _GJ_BLOCK):
+    """Blocked (panel) variant of `gj_solve_masked`: identical elimination
+    order, but bs pivots are processed per sweep — the within-panel
+    transform E comes from a tiny unrolled GJ and the trailing update is two
+    matmuls. n sequential full-matrix rank-1 passes (HBM-bandwidth-bound,
+    the measured bottleneck of the articulated impact LCPs) become n/bs
+    panel sweeps with MXU-shaped updates. Panel starts are static, so there
+    are no dynamic-update-slice kernels at all.
+
+    Equivalent to the unblocked elimination in exact arithmetic (Schur
+    identity); vanishing-pivot rows are skipped inside the panel exactly as
+    the unblocked route skips them, and `ok` reports the same min-pivot
+    criterion. Returns (x, ok)."""
+    n = b.shape[-1]
+    dtype = A.dtype
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny * 1e8, dtype)
+    minpiv = jnp.full(b.shape[:-1], jnp.inf, dtype)
+    for s in range(0, n, bs):
+        e = min(s + bs, n)
+        D = A[..., s:e, s:e]
+        E, mp = _gj_invert_small(D)
+        minpiv = jnp.minimum(minpiv, mp)
+        R = E @ A[..., s:e, :]                      # transformed panel rows
+        bJ = jnp.einsum("...ij,...j->...i", E, b[..., s:e])
+        C = A[..., :, s:e]
+        # block rows are replaced, not updated: zero their factor
+        C = C.at[..., s:e, :].set(0.0)
+        A = A - C @ R
+        b = b - jnp.einsum("...ij,...j->...i", C, bJ)
+        A = A.at[..., s:e, :].set(R)
+        b = b.at[..., s:e].set(bJ)
+    ok = (minpiv > tiny) & jnp.all(jnp.isfinite(b), axis=-1)
+    return b, ok
+
+
 def gj_invert_masked(A, active):
     """Invert the `active`-masked system (identity rows/cols on inactive
     slots) by the same unpivoted Gauss–Jordan as `gj_solve_masked`, carrying
@@ -259,7 +332,10 @@ def solve_principal(M, rhs, nonbas, na_cap=None):
     )
     b = jnp.where(nonbas, rhs, 0.0)
     if _use_gj(dtype):
-        x, ok = gj_solve_masked(A, b, nonbas)
+        if _GJ_BLOCK_MIN_N and n >= _GJ_BLOCK_MIN_N:
+            x, ok = gj_solve_masked_blocked(A, b, nonbas)
+        else:
+            x, ok = gj_solve_masked(A, b, nonbas)
     else:
         x = jnp.linalg.solve(A, b)
         ok = jnp.all(jnp.isfinite(x))

@@ -141,6 +141,9 @@ def main():
         dt = time.time() - t0
         print(f"{m}: {B * reps / dt:.2f} solves/s  (B={B}, compile+1st "
               f"{tc:.1f}s, mean cost {costs[m].mean():.4f})", flush=True)
+        if os.environ.get("MOBY_UR10_PRINT_MEMBERS", "0") == "1":
+            print("  member costs[:16]:",
+                  " ".join(f"{c:.4f}" for c in costs[m][:16]), flush=True)
     names = list(costs)
     for m in names[1:]:
         d = np.max(np.abs(costs[m] - costs[names[0]]))
