@@ -89,9 +89,9 @@ def bench_steps():
     return B * 10 * n_chunks / dt
 
 
-def bench_mpc():
-    """Contact-MPC solves/s at H=50 (the BASELINE metric): iLQR ball-push
-    with Coulomb friction through the IFT-differentiable impact LCP."""
+def _ballpush_setup(B):
+    """(prob, batched_states, cost, cost_final, us0) for the ball-push
+    contact-MPC task at batch B (the BASELINE north-star workload)."""
     import jax
     import jax.numpy as jnp
 
@@ -114,10 +114,6 @@ def bench_mpc():
     scene, st = b.compile()
 
     H = 50
-    # default batch chosen by measurement (round 3): 256 -> 2923/s,
-    # round-4 sweep on the v5e: 1024 -> 7731/s, 1536 -> 7894/s, 2048 drops
-    B = int(os.environ.get("MOBY_BENCH_MPC_B", "1536"))
-    n_iters = 4
     prob = contact_mpc.MPCProblem(scene=scene, template=st, dt=0.02, horizon=H)
     target = jnp.array([0.5, 0.0], st.pos.dtype)
 
@@ -133,6 +129,22 @@ def bench_mpc():
     key = jax.random.PRNGKey(0)
     dx = jax.random.uniform(key, (B,), dtype=batched.pos.dtype) * 0.2 - 0.1
     batched = batched.replace(pos=batched.pos.at[:, 0, 0].add(dx))
+    return prob, batched, cost, cost_final, None
+
+
+def bench_mpc():
+    """Contact-MPC solves/s at H=50 (the BASELINE metric): iLQR ball-push
+    with Coulomb friction through the IFT-differentiable impact LCP."""
+    import jax
+    import jax.numpy as jnp
+
+    from moby_tpu.mpc import contact_mpc
+
+    # default batch chosen by measurement (round 3): 256 -> 2923/s,
+    # round-4 sweep on the v5e: 1024 -> 7731/s, 1536 -> 7894/s, 2048 drops
+    B = int(os.environ.get("MOBY_BENCH_MPC_B", "1536"))
+    n_iters = 4
+    prob, batched, cost, cost_final, _ = _ballpush_setup(B)
 
     # batch-level iLQR: batch-voted early-exit line search (~1.5x over the
     # lock-step vmapped 8-alpha scan; identical per-member semantics)
@@ -154,20 +166,22 @@ def bench_mpc():
     return B * reps / dt, B
 
 
-def bench_ur10_mpc():
-    """UR10 contact-MPC reach (BASELINE.json configs row 5: '6-DoF
-    articulated reduced-coords dynamics with joint limits, contact-MPC reach
-    task'): the reference arm (example/ur10/ur10/ur10.sdf) reaching a target
-    AT the floor plane — the optimum presses into the unilateral contact, so
-    every iLQR iteration differentiates through an articulated multi-slot
-    impact LCP with 12 joint-limit rows.
+def _ur10_setup(B):
+    """(prob, batched_states, cost, cost_final, us0) for the UR10
+    contact-MPC reach task (BASELINE.json configs row 5: '6-DoF articulated
+    reduced-coords dynamics with joint limits, contact-MPC reach task'):
+    the reference arm (example/ur10/ur10/ur10.sdf) reaching a target AT the
+    floor plane — the optimum presses into the unilateral contact, so every
+    iLQR iteration differentiates through an articulated multi-slot impact
+    LCP with 12 joint-limit rows.
 
     Geometry (MOBY_BENCH_UR10_GEOM): 'real' (default) collides the wrist_3
     link's actual Collada collision hull (meshes/collision/Wrist3.dae, read
     directly by io/collada.py) against the floor; the other links' hulls
     stay >0.4 m above the floor for the whole task and are dropped — the
-    fixed-shape equivalent of the reference's broad-phase cull. 'proxy'
-    keeps the round-3 3 cm fist box (comparability). Returns (solves/s, B).
+    fixed-shape equivalent of the reference's broad-phase cull (checked by
+    an oracle-rollout clearance assert, see scripts/ur10_cull_check.py).
+    'proxy' keeps the round-3 3 cm fist box (comparability).
     """
     import xml.etree.ElementTree as ET
 
@@ -246,9 +260,6 @@ def bench_ur10_mpc():
         return 500.0 * jnp.sum((ee - target) ** 2) + jnp.sum(qd ** 2)
 
     H = 50
-    # batch by measurement (round 3): 128 -> 11.97/s, 256 -> 13.49/s
-    B = int(os.environ.get("MOBY_BENCH_UR10_B", "256"))
-    n_iters = 4
     prob = contact_mpc.MPCProblem(scene=scene, template=st, dt=0.01,
                                   horizon=H)
 
@@ -269,6 +280,20 @@ def bench_ur10_mpc():
     key = jax.random.PRNGKey(1)
     dq = jax.random.uniform(key, (B, nq), dtype=batched.q_art.dtype) * 0.04
     batched = batched.replace(q_art=batched.q_art + dq)
+    return prob, batched, cost, cost_final, us0
+
+
+def bench_ur10_mpc():
+    """UR10 contact-MPC reach throughput (see _ur10_setup).
+    Returns (solves/s, B)."""
+    import jax
+
+    from moby_tpu.mpc import contact_mpc
+
+    # batch by measurement (round 3): 128 -> 11.97/s, 256 -> 13.49/s
+    B = int(os.environ.get("MOBY_BENCH_UR10_B", "256"))
+    n_iters = 4
+    prob, batched, cost, cost_final, us0 = _ur10_setup(B)
 
     @jax.jit
     def sweep(states):
@@ -286,6 +311,45 @@ def bench_ur10_mpc():
     jax.block_until_ready(out)
     dt_s = time.time() - t0
     return B * reps / dt_s, B
+
+
+def bench_latency():
+    """Per-solve wall latency (ms) in the small-B/online regime a real MPC
+    loop runs in (VERDICT r4 #4; the north star's 'real-time MPC budget').
+
+    One timed call = one full batched contact-MPC solve (4 iLQR iterations,
+    H=50); at B=1 this IS the replanning latency a controller would see.
+    Mirrors the reference's `-or` per-iteration wall reporting
+    (/root/reference/programs/driver.cpp:234-241), which is likewise wall
+    time of the whole solve unit. Returns {field: ms}.
+    """
+    import jax
+
+    from moby_tpu.mpc import contact_mpc
+
+    out = {}
+    for name, setup in (("ballpush", _ballpush_setup),
+                        ("ur10", _ur10_setup)):
+        for B in (1, 8, 64):
+            prob, batched, cost, cost_final, us0 = setup(B)
+
+            @jax.jit
+            def sweep(states, prob=prob, cost=cost, cost_final=cost_final,
+                      us0=us0):
+                return contact_mpc.solve_batch(
+                    prob, states, cost, cost_final, us0=us0, n_iters=4
+                ).cost
+
+            r = sweep(batched)
+            jax.block_until_ready(r)
+            reps = 5 if name == "ballpush" else 3
+            t0 = time.time()
+            for _ in range(reps):
+                r = sweep(batched)
+            jax.block_until_ready(r)
+            ms = (time.time() - t0) / reps * 1e3
+            out[f"latency_ms_{name}_B{B}"] = round(ms, 1)
+    return out
 
 
 def main():
@@ -309,6 +373,9 @@ def main():
     solves_per_s, mpc_b = bench_mpc()
     extra["mpc_B"] = mpc_b
     extra["mpc_iters"] = 4
+
+    if os.environ.get("MOBY_BENCH_SKIP_LATENCY") != "1":
+        extra.update(bench_latency())
 
     if os.environ.get("MOBY_BENCH_SKIP_UR10") != "1":
         ur10_sps, ur10_b = bench_ur10_mpc()

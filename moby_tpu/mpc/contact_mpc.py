@@ -376,6 +376,7 @@ def solve_batch(
     record_replay: bool = True,
     hoist_linearization: bool = False,
     linearize_fwd: bool = False,
+    rr_warm_start: bool = True,
 ) -> ilqr.ILQRResult:
     """Batched contact-MPC solve through `ilqr.ilqr_batched`: identical
     per-scenario semantics to `vmap(solve)` but with the batch-voted
@@ -390,13 +391,29 @@ def solve_batch(
     the Riccati scan (wins for dispatch-bound articulated steps).
     linearize_fwd: jacfwd through the custom-JVP replay (identical
     Jacobians, no reverse-mode transpose machinery); needs record/replay,
-    silently falls back to jacrev when replay is unavailable."""
+    silently falls back to jacrev when replay is unavailable.
+    rr_warm_start: thread (zlast, zlast_active) across rollout steps —
+    the reference's `_zlast` warm start
+    (/root/reference/src/ImpactConstraintHandlerQP.cpp:111-162). Warm-
+    started pivoting takes a different pivot path and converges to the
+    same solution only up to the LCP termination tolerance (~1e-8
+    relative), so rollouts drift at that level vs the cold-start path.
+    Set False for bit-exact parity with record_replay=False (used by the
+    parity oracle in tests/test_mpc_rr.py)."""
     import os
 
     scene = prob.scene
     f, f_rec, f_rep = make_dynamics_rr(scene, prob.template, prob.dt)
     if not record_replay:
         f_rec = f_rep = None
+    if f_rec is not None and not rr_warm_start:
+        f_rec_warm = f_rec
+
+        def f_rec(x, u, aux):
+            xp, z, _ = f_rec_warm(x, u, f_rec_warm.aux_init())
+            return xp, z, aux
+
+        f_rec.aux_init = f_rec_warm.aux_init
     if f_rep is None:
         linearize_fwd = False
     x0s = jax.vmap(lambda s: pack(scene, s))(states)

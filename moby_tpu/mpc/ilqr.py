@@ -438,12 +438,17 @@ def ilqr_batched(
             # whole (1+nx,1+nx) products for two scalars.
             dv1_k = jnp.einsum("bi,bi->b", k, Qu)
             dv2_k = jnp.einsum("bi,bij,bj->b", k, Quu, k)
-            # finite-ness is checked on the (B,) model-decrease scalars
-            # instead of reducing over k/K: any non-finite gain poisons
-            # dv1/dv2 (and the rollout cost, which the line search's
-            # isfinite gate rejects) — the explicit (B, nu, nx) reduce was
-            # 4% of sweep device time
-            ok_k = ok_k & jnp.isfinite(dv1_k) & jnp.isfinite(dv2_k)
+            # finite-ness is checked on (B,) scalars instead of an
+            # elementwise reduce over k/K (the explicit (B, nu, nx)
+            # jnp.all(isfinite(K)) was 4% of sweep device time). dv1/dv2
+            # only touch k, so a NaN confined to K (e.g. NaN Qux with
+            # finite Qu/Quu) would pass them — the kK einsum-sum folds K
+            # into one scalar per member so that case poisons ok_k too
+            # (ADVICE r4: at the earliest timestep there is no later
+            # Vx2 step to catch it).
+            kK_sum = jnp.einsum("bij->b", kK)
+            ok_k = (ok_k & jnp.isfinite(dv1_k) & jnp.isfinite(dv2_k)
+                    & jnp.isfinite(kK_sum))
             return (Vx2, Vxx2, ok & ok_k, dv1 + dv1_k, dv2 + dv2_k), (k, K)
 
         inputs = [

@@ -344,8 +344,23 @@ def assemble_problem(scene, st, pt: PoseTable, con: Contacts, act, act_lim) -> P
     # and the dead-body blocks never enter the products at all.
     Minv_blk = None
     Jr_live = None
-    if not scene.arts and not scene.bilaterals and scene.nb and K:
-        import numpy as _np
+    # Gate on every ENABLED body being massive: an enabled-but-massless
+    # (kinematic) body has zero Minv blocks but nonzero velocity rows in
+    # bv = Jall @ v, which the live compression below (masked on
+    # enabled & mass>0) would silently drop (ADVICE r4 medium). Such
+    # scenes take the dense path.
+    import numpy as _np
+    _all_enabled_massive = bool(
+        ((_np.asarray(scene.mass) > 0) | ~_np.asarray(scene.enabled)).all())
+    if (not scene.arts and not scene.bilaterals and scene.nb and K
+            and _all_enabled_massive):
+        # Jr_live wiring assumes pose-slot index == body index; this holds
+        # on this gated path (no articulated bodies => the state IS the
+        # pose table) — assert it so a future slot-layout change fails
+        # loudly instead of silently mis-wiring contact rows (ADVICE r4).
+        assert scene.n_pose_slots == scene.nb, (
+            "Jr_live fast path requires pose-slot index == body index "
+            f"(n_pose_slots={scene.n_pose_slots}, nb={scene.nb})")
 
         il = _live_free_idx(scene)
         Minv_blk = free_inv_inertia_blocks_live(scene, st.quat)
