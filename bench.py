@@ -313,6 +313,100 @@ def bench_ur10_mpc():
     return B * reps / dt_s, B
 
 
+def bench_pile64():
+    """64-sphere pile stepping on the runtime pair pool (VERDICT r4 #5:
+    the >=64-body regime). 2016 sphere-sphere candidates are culled each
+    step to 256 runtime-assigned contact slots (set_pair_pool — the TPU
+    redesign of the reference's sweep-and-prune broad phase,
+    /root/reference/src/CCD.cpp:702-990), so the impact LCP is cap-bound
+    (n = 1920 + limits) instead of O(n_bodies^2) (~13k dense).
+
+    Returns (steps/s, settled_ok, K, n_candidates). Also asserts the pile
+    actually comes to rest (stability evidence, not just throughput).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from moby_tpu.core import scene as sc
+    from moby_tpu.math import quaternion as quat
+    from moby_tpu.sim import stepper
+
+    # compacted BPP working set keeps the big-LCP sub-solves MXU-sized
+    os.environ.setdefault("MOBY_BPP_COMPACT_NA", "384")
+
+    n = 64
+    b = sc.SceneBuilder()
+    b.set_gravity([0, 0, -9.81])
+    r = 0.5
+    rng = np.random.RandomState(0)
+    side = 4
+    k = 0
+    for ix in range(side):
+        for iy in range(side):
+            for iz in range(side):
+                jit_off = rng.uniform(-0.01, 0.01, 3)
+                pos = np.array([
+                    (ix - side / 2) * 1.02 + jit_off[0],
+                    (iy - side / 2) * 1.02 + jit_off[1],
+                    r + 0.01 + iz * 1.02 + jit_off[2],
+                ])
+                b.add_body(f"p{k}", mass=1.0,
+                           inertia=sc.sphere_inertia(1.0, r), pos=pos)
+                b.add_geom(f"p{k}", sc.SPHERE, [r])
+                k += 1
+    pq = np.asarray(quat.from_rpy(np.array([1.5707963267949, 0, 0])))
+    b.add_body("ground", enabled=False)
+    b.add_geom("ground", sc.PLANE, [0.0], quat=pq)
+    cp = sc.ContactParams(epsilon=0.0, mu_coulomb=0.5, nk=4)
+    for i in range(n):
+        b.set_contact_params("ground", f"p{i}", cp)
+        for j in range(i + 1, n):
+            b.set_contact_params(f"p{i}", f"p{j}", cp)
+    b.set_pair_pool(sc.SPHERE, sc.SPHERE, 256)
+    scene, st = b.compile()
+    n_cand = int(scene.n_pairs) - n  # sphere-sphere candidates
+
+    B = int(os.environ.get("MOBY_BENCH_PILE_B", "8"))
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), st
+    )
+    key = jax.random.PRNGKey(0)
+    dz = jax.random.uniform(key, (B, scene.nb),
+                            dtype=batched.pos.dtype) * 0.005
+    batched = batched.replace(pos=batched.pos.at[:, :, 2].add(dz))
+
+    @jax.jit
+    def rollout_chunk(states):
+        def f(s, _):
+            return jax.vmap(lambda x: stepper.step(scene, x, 0.01))(s), None
+
+        out, _ = jax.lax.scan(f, states, None, length=10)
+        return out
+
+    out = rollout_chunk(batched)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    n_chunks = 5
+    for _ in range(n_chunks):
+        out = rollout_chunk(out)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    sps = B * 10 * n_chunks / dt
+
+    # settle the pile and check it is at rest (stability evidence)
+    for _ in range(10):
+        out = rollout_chunk(out)
+    pos = np.asarray(out.pos)
+    vel = np.asarray(out.vel)
+    ke = 0.5 * float(np.sum(vel[0] ** 2))
+    settled = bool(
+        np.isfinite(pos).all()
+        and (pos[:, :n, 2] > 0.45).all()
+        and ke < 10.0
+    )
+    return sps, settled, int(scene.n_contacts), n_cand
+
+
 def bench_latency():
     """Per-solve wall latency (ms) in the small-B/online regime a real MPC
     loop runs in (VERDICT r4 #4; the north star's 'real-time MPC budget').
@@ -373,6 +467,13 @@ def main():
     solves_per_s, mpc_b = bench_mpc()
     extra["mpc_B"] = mpc_b
     extra["mpc_iters"] = 4
+
+    if os.environ.get("MOBY_BENCH_SKIP_PILE") != "1":
+        pile_sps, pile_ok, pile_k, pile_cand = bench_pile64()
+        extra["pile64_steps_per_s"] = round(pile_sps, 1)
+        extra["pile64_settled"] = pile_ok
+        extra["pile64_contact_slots"] = pile_k
+        extra["pile64_candidate_pairs"] = pile_cand
 
     if os.environ.get("MOBY_BENCH_SKIP_LATENCY") != "1":
         extra.update(bench_latency())

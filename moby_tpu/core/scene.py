@@ -104,6 +104,10 @@ _SKIP = "skip"
 # 8 vertices) are bit-identical to the uncapped layout.
 VSLOT_CAP = 16
 
+# pair kinds eligible for runtime pair pooling (SceneBuilder.set_pair_pool):
+# bounded geometries with pure-gather kernels that accept traced pair indices
+_POOLABLE_KINDS = frozenset({K_SPHERE_SPHERE, K_BOX_SPHERE})
+
 
 def _kind_nslots(kind: int, vmax: int) -> int:
     if kind >= K_SUPPORT_TM_BASE:
@@ -262,6 +266,13 @@ class Scene:
     bilaterals: Any = struct.field(pytree_node=False, default=())  # tuple[Bilateral]
     kind_groups: Any = struct.field(pytree_node=False, default=None)
     body_names: Any = struct.field(pytree_node=False, default=None)
+    # (ng,) shape-only bounding radius (pair-pool broad-phase cull bound)
+    geom_rmax: jnp.ndarray = None
+    # any kind group is pooled (set_pair_pool): contact-slot pair/body
+    # identity is runtime data (Contacts.s1/s2/pair), islands collapse to
+    # one group, and the static slot_s1/s2/pair tables are placeholders
+    # for the pooled block
+    has_dyn_slots: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_vars(self) -> int:
@@ -449,6 +460,9 @@ class SceneBuilder:
         self.disabled_pairs: set[tuple[str, str]] = set()
         # custom plugin contact kernels: (body1, body2, kernel, nslots)
         self.custom_pairs: list = []
+        # broad-phase pair pools: kind -> max runtime-selected pairs
+        # (see set_pair_pool)
+        self.pair_pools: dict[int, int] = {}
         # per-body drag coefficients (StokesDragForce / DampingForce)
         self.drag_lin: dict = {}
         self.drag_ang: dict = {}
@@ -544,6 +558,36 @@ class SceneBuilder:
     # ---------------- compile ----------------
     def _lookup_cp(self, n1, n2) -> ContactParams:
         return self.contact_params.get(tuple(sorted((n1, n2))), ContactParams())
+
+    def set_pair_pool(self, gtype_a, gtype_b, max_pairs: int):
+        """Cap the contact slots of one geometry-kind class to `max_pairs`
+        runtime-culled candidate pairs — the TPU-native redesign of the
+        reference's swept-sphere sweep-and-prune broad phase
+        (/root/reference/src/CCD.cpp:702-990, sort_AABBs :903).
+
+        Where the reference maintains sorted axis lists on the CPU, here the
+        class's candidate pairs (still enumerated statically at compile) are
+        pruned EVERY STEP to the `max_pairs` nearest by a bounding-sphere
+        distance lower bound (one fused (P,)-vectorized pass + top_k), and
+        only the selected pairs run narrow phase and own contact slots. The
+        per-slot body incidence becomes data (Contacts.s1/s2/pair), so the
+        LCP size scales with max_pairs instead of O(n_bodies^2).
+
+        Constraints (checked at compile): bounded-geometry kinds only
+        (sphere/sphere, box/sphere), uniform ContactParams across the class,
+        no compliant members, finite mu (< 1e2: the QP model), linearized
+        cones (nk > 0). Selected pairs are re-sorted ascending so slot
+        assignment is stable while the neighbor set is stable (keeps
+        `zlast` warm starts valid for resting piles).
+        """
+        kind, _ = self._pair_kind(gtype_a, gtype_b)
+        if kind not in _POOLABLE_KINDS:
+            raise ValueError(
+                "set_pair_pool supports bounded convex pair kinds "
+                "(sphere/sphere, box/sphere); got kind "
+                f"{kind} for gtypes ({gtype_a}, {gtype_b})"
+            )
+        self.pair_pools[kind] = int(max_pairs)
 
     def _pair_kind(self, ta, tb):
         if ta == SPHERE and tb == SPHERE:
@@ -789,6 +833,26 @@ class SceneBuilder:
 
         # rmax per pose slot (reference CCD.cpp:739)
         slot_rmax = np.zeros(ns, dt)
+        # shape-only bounding radius per geometry (around the geom origin) —
+        # the broad-phase pair-pool cull bound: dist(g1, g2) >=
+        # |c1 - c2| - geom_rmax1 - geom_rmax2 with c the geom world centers
+        geom_rmax_np = np.zeros(ng, dt)
+        for i, g in enumerate(all_geoms):
+            t = g.gtype
+            if t == SPHERE:
+                geom_rmax_np[i] = g.params[0]
+            elif t == BOX:
+                geom_rmax_np[i] = float(np.linalg.norm(g.params[:3]))
+            elif t in (CYLINDER, CONE):
+                geom_rmax_np[i] = float(
+                    math.hypot(g.params[0], g.params[1] / 2))
+            elif t == TORUS:
+                geom_rmax_np[i] = float(g.params[0] + g.params[1])
+            elif t in (POLYHEDRON, TRIMESH) and g.verts is not None:
+                geom_rmax_np[i] = float(
+                    np.max(np.linalg.norm(g.verts, axis=1)))
+            else:
+                geom_rmax_np[i] = np.inf  # unbounded (plane/heightmap)
         for i, g in enumerate(all_geoms):
             s = geom_slot[i]
             off = np.linalg.norm(g.pos)
@@ -909,28 +973,83 @@ class SceneBuilder:
         # only ones a per-pair max_slots cap may shrink)
         _CAPPABLE = {K_PLANE_GENERIC, K_BOX_BOX, K_VERTS_HEIGHTMAP,
                      K_TRIMESH_CONVEX}
-        pair_slot0 = np.zeros(n_pairs, np.int32)
-        pair_nslots = np.zeros(n_pairs, np.int32)
-        for p, (ga, gb, kind) in enumerate(pair_rows):
-            nsl = (
-                custom_kernels[kind][1] if kind < 0 else _kind_nslots(kind, vmax)
-            )
-            pair_slot0[p] = len(s_pair)
-            s1 = int(geom_slot[ga])
-            s2 = int(geom_slot[gb])
-            cp = None
+        # pass 1: per-pair slot count + resolved contact params
+        def _cp_for(s1, s2):
             for n1 in slot_cp_names(s1):
                 for n2 in slot_cp_names(s2):
                     key = tuple(sorted((n1, n2)))
                     if key in self.contact_params:
-                        cp = self.contact_params[key]
-                        break
-                if cp is not None:
-                    break
-            if cp is None:
-                cp = ContactParams()
+                        return self.contact_params[key]
+            return ContactParams()
+
+        pair_cp = []
+        pair_nsl = []
+        for p, (ga, gb, kind) in enumerate(pair_rows):
+            nsl = (
+                custom_kernels[kind][1] if kind < 0 else _kind_nslots(kind, vmax)
+            )
+            cp = _cp_for(int(geom_slot[ga]), int(geom_slot[gb]))
             if cp.max_slots > 0 and kind in _CAPPABLE:
                 nsl = min(nsl, cp.max_slots)
+            pair_cp.append(cp)
+            pair_nsl.append(nsl)
+
+        # pooled classes (set_pair_pool): a (kind, nslots) group whose
+        # candidate count exceeds the pool cap shares cap*nslots runtime-
+        # assigned slots instead of per-pair static slots — the TPU redesign
+        # of the reference's sweep-and-prune broad phase (CCD.cpp:702-990)
+        group_of: dict = {}
+        for p, (ga, gb, kind) in enumerate(pair_rows):
+            group_of.setdefault((int(kind), int(pair_nsl[p])), []).append(p)
+        pooled_caps: dict = {}
+        for gkey, plist in group_of.items():
+            cap = self.pair_pools.get(gkey[0])
+            if cap is None or len(plist) <= cap:
+                continue
+            c0 = pair_cp[plist[0]]
+            for p in plist[1:]:
+                if pair_cp[p] != c0:
+                    raise ValueError(
+                        "set_pair_pool requires uniform ContactParams "
+                        f"across the pooled class (kind {gkey[0]}): pair "
+                        f"{p} differs from pair {plist[0]}"
+                    )
+            if c0.mu_coulomb >= 1e2:
+                raise ValueError(
+                    "pooled pair classes route through the QP model; "
+                    "mu_coulomb >= 100 (no-slip MLCP) is unsupported"
+                )
+            if c0.nk <= 0:
+                raise ValueError(
+                    "pooled pair classes route through the QP model; "
+                    "nk <= 0 (true-cone NQP) is unsupported"
+                )
+            for p in plist:
+                ga, gb, _ = pair_rows[p]
+                if (_body_compliant(int(geom_slot[ga]))
+                        or _body_compliant(int(geom_slot[gb]))):
+                    raise ValueError(
+                        "pooled pair classes do not support compliant "
+                        "bodies (penalty contacts need static slot->pair "
+                        "ownership)"
+                    )
+            pooled_caps[gkey] = cap
+
+        # pass 2: slot allocation. Unpooled pairs get per-pair slots in pair
+        # order (bit-identical layout to the pre-pooling compiler for every
+        # existing scene); each pooled group appends ONE shared block of
+        # cap*nslots slots whose pair/body identity is assigned at runtime
+        # by the narrow-phase cull (Contacts.s1/s2/pair).
+        pair_slot0 = np.zeros(n_pairs, np.int32)
+        pair_nslots = np.zeros(n_pairs, np.int32)
+        for p, (ga, gb, kind) in enumerate(pair_rows):
+            if (int(kind), int(pair_nsl[p])) in pooled_caps:
+                continue
+            nsl = pair_nsl[p]
+            cp = pair_cp[p]
+            pair_slot0[p] = len(s_pair)
+            s1 = int(geom_slot[ga])
+            s2 = int(geom_slot[gb])
             pair_nslots[p] = nsl
             for _ in range(nsl):
                 s_pair.append(p)
@@ -946,7 +1065,42 @@ class SceneBuilder:
                 s_compliant.append(_body_compliant(s1) or _body_compliant(s2))
                 s_kp.append(cp.penalty_kp)
                 s_kv.append(cp.penalty_kv)
+        pool_slot0: dict = {}
+        for gkey in sorted(pooled_caps):
+            plist = group_of[gkey]
+            cap = pooled_caps[gkey]
+            nsl = gkey[1]
+            cp = pair_cp[plist[0]]
+            pool_slot0[gkey] = len(s_pair)
+            ga0, gb0, _ = pair_rows[plist[0]]
+            for _ in range(cap * nsl):
+                # static placeholders; narrow phase overrides identity
+                s_pair.append(plist[0])
+                s_s1.append(int(geom_slot[ga0]))
+                s_s2.append(int(geom_slot[gb0]))
+                s_eps.append(cp.epsilon)
+                s_mu_c.append(cp.mu_coulomb)
+                s_mu_v.append(cp.mu_viscous)
+                s_comp.append(cp.compliance)
+                s_nk.append(max(4, cp.nk) if cp.nk > 0 else 4)
+                s_truecone.append(False)
+                s_compliant.append(False)
+                s_kp.append(cp.penalty_kp)
+                s_kv.append(cp.penalty_kv)
         K = len(s_pair)
+        if pooled_caps:
+            # pooled scenes solve one constraint group (no static island
+            # incidence): per-island model routing and the no-slip / NQP
+            # routes are compile-time rejected above for the pooled class;
+            # the UNpooled slots must agree on the QP model too
+            if any(m >= 1e2 for m, c in zip(s_mu_c, s_compliant) if not c):
+                raise ValueError(
+                    "scenes with pooled pair classes cannot mix in "
+                    "mu >= 100 (no-slip) contacts")
+            if any(t for t, c in zip(s_truecone, s_compliant) if not c):
+                raise ValueError(
+                    "scenes with pooled pair classes cannot mix in "
+                    "true-cone (nk <= 0) contacts")
 
         # friction rows: θ_j = j/(NK/2-1)·π/2 (setup_QP:461-479)
         fr_con, fr_cos, fr_sin = [], [], []
@@ -1071,28 +1225,37 @@ class SceneBuilder:
 
         # groups keyed by (kind, nslots): pairs of one kind may carry
         # different per-pair manifold caps (ContactParams.max_slots) and
-        # each cap compiles its own vectorized kernel call
+        # each cap compiles its own vectorized kernel call. Pooled groups
+        # (set_pair_pool) carry their full candidate-pair list + the shared
+        # runtime-assigned slot block.
         kind_groups = {}
-        for p, (_, _, kind) in enumerate(pair_rows):
-            kind_groups.setdefault(
-                (int(kind), int(pair_nslots[p])), []
-            ).append(p)
-        kind_groups = {
-            key: {
-                "kind": key[0],
-                "pairs": np.array(v, np.int32),
-                "slots": np.concatenate(
-                    [
-                        pair_slot0[p] + np.arange(pair_nslots[p], dtype=np.int32)
-                        for p in v
-                    ]
-                ),
-                "nslots": key[1],
-                **({"kernel": custom_kernels[key[0]][0]} if key[0] < 0
-                   else {}),
-            }
-            for key, v in kind_groups.items()
-        }
+        for gkey, v in group_of.items():
+            if gkey in pooled_caps:
+                cap = pooled_caps[gkey]
+                kind_groups[gkey] = {
+                    "kind": gkey[0],
+                    "pairs": np.array(v, np.int32),
+                    "slots": pool_slot0[gkey] + np.arange(
+                        cap * gkey[1], dtype=np.int32),
+                    "nslots": gkey[1],
+                    "pooled": True,
+                    "cap": cap,
+                }
+            else:
+                kind_groups[gkey] = {
+                    "kind": gkey[0],
+                    "pairs": np.array(v, np.int32),
+                    "slots": np.concatenate(
+                        [
+                            pair_slot0[p]
+                            + np.arange(pair_nslots[p], dtype=np.int32)
+                            for p in v
+                        ]
+                    ),
+                    "nslots": gkey[1],
+                    **({"kernel": custom_kernels[gkey[0]][0]} if gkey[0] < 0
+                       else {}),
+                }
 
         scene = Scene(
             mass=jnp.array(mass),
@@ -1106,6 +1269,8 @@ class SceneBuilder:
             geom_pos=jnp.array(geom_pos),
             geom_quat=jnp.array(geom_quat),
             geom_params=jnp.array(geom_params),
+            geom_rmax=jnp.array(geom_rmax_np),
+            has_dyn_slots=bool(pooled_caps),
             pair_g1=jnp.array(pair_g1),
             pair_g2=jnp.array(pair_g2),
             pair_kind=jnp.array(pair_kind),

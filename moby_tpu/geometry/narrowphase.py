@@ -40,6 +40,13 @@ class Contacts(NamedTuple):
     depth: jnp.ndarray   # (K,) signed distance at creation
     tan1: jnp.ndarray    # (K, 3)
     tan2: jnp.ndarray    # (K, 3)
+    # per-slot identity. For static slots these equal the compile-time
+    # scene.slot_s1/slot_s2/slot_pair tables (constant-folded under jit);
+    # for pooled slots (SceneBuilder.set_pair_pool) they carry the
+    # runtime-culled pair assignment — the slot->body incidence is DATA.
+    s1: jnp.ndarray = None    # (K,) int32 pose slot of geom1
+    s2: jnp.ndarray = None    # (K,) int32 pose slot of geom2
+    pair: jnp.ndarray = None  # (K,) int32 owning candidate pair
 
 
 def geom_world_pose(scene: sc.Scene, pos, quat_b, gidx):
@@ -959,12 +966,51 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
     d_parts, a_parts, b_parts = [], [], []
     pt_parts, n_parts, sd_parts = [], [], []
     pair_idx_parts, slot_idx_parts = [], []
+    s1_parts, s2_parts, sp_parts = [], [], []
 
     for grp in scene.kind_groups.values():
         kind = grp["kind"]
         pairs = grp["pairs"]
         slots = grp["slots"]
         if len(pairs) == 0:
+            continue
+        if grp.get("pooled"):
+            # runtime pair pool (set_pair_pool): prune the class's candidate
+            # pairs to the `cap` nearest by the bounding-sphere distance
+            # lower bound, then run the kernel on the selected (traced)
+            # pairs only — the TPU-native sweep-and-prune
+            # (/root/reference/src/CCD.cpp:702-990 redesigned as one fused
+            # vector pass + top_k instead of sorted axis lists).
+            cap = grp["cap"]
+            nsl = grp["nslots"]
+            cand = jnp.asarray(pairs)                    # (P,) static ids
+            g1 = scene.pair_g1[cand]
+            g2 = scene.pair_g2[cand]
+            c1, _ = geom_world_pose(scene, pos, quat_b, g1)
+            c2, _ = geom_world_pose(scene, pos, quat_b, g2)
+            db = (jnp.linalg.norm(c1 - c2, axis=-1)
+                  - scene.geom_rmax[g1] - scene.geom_rmax[g2])
+            _, sel_local = jax.lax.top_k(-db, cap)
+            # ascending pair order -> stable slot assignment while the
+            # neighbor set is stable (keeps zlast warm starts valid)
+            sel_local = jnp.sort(sel_local)
+            sel = cand[sel_local]                        # (cap,) traced
+            d, a, b, pts, nrm, sd = _KERNELS[kind](
+                scene, pos, quat_b, sel)
+            # full candidate-pair distances: the cheap bound (a true lower
+            # bound -> conservative for CA) with exact values scattered in
+            d_parts.append(db.at[sel_local].set(d))
+            a_parts.append(c1.at[sel_local].set(a))
+            b_parts.append(c2.at[sel_local].set(b))
+            pair_idx_parts.append(np.asarray(pairs))
+            pt_parts.append(pts.reshape(-1, 3))
+            n_parts.append(nrm.reshape(-1, 3))
+            sd_parts.append(sd.reshape(-1))
+            slot_idx_parts.append(np.asarray(slots))
+            sel_rep = jnp.repeat(sel, nsl)
+            sp_parts.append(sel_rep)
+            s1_parts.append(scene.geom_slot[scene.pair_g1[sel_rep]])
+            s2_parts.append(scene.geom_slot[scene.pair_g2[sel_rep]])
             continue
         if "kernel" in grp:
             # custom plugin kernel (CollisionDetectionPlugin equivalent)
@@ -1018,6 +1064,10 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
         sd_parts.append(sd.reshape(-1))
         pair_idx_parts.append(np.asarray(pairs))
         slot_idx_parts.append(np.asarray(slots))
+        slots_np = np.asarray(slots)
+        sp_parts.append(scene.slot_pair[slots_np])
+        s1_parts.append(scene.slot_s1[slots_np])
+        s2_parts.append(scene.slot_s2[slots_np])
 
     if pair_idx_parts:
         pair_perm = np.argsort(np.concatenate(pair_idx_parts))
@@ -1037,8 +1087,17 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
         cpoint = jnp.zeros((K, 3), dtype)
         cnormal = jnp.zeros((K, 3), dtype)
         csdist = jnp.full(K, jnp.inf, dtype)
+    if slot_idx_parts and K:
+        slot_perm = np.argsort(np.concatenate(slot_idx_parts))
+        slot_s1 = jnp.concatenate(s1_parts)[slot_perm].astype(jnp.int32)
+        slot_s2 = jnp.concatenate(s2_parts)[slot_perm].astype(jnp.int32)
+        slot_pr = jnp.concatenate(sp_parts)[slot_perm].astype(jnp.int32)
+    else:
+        slot_s1 = scene.slot_s1
+        slot_s2 = scene.slot_s2
+        slot_pr = scene.slot_pair
 
-    pair_dist_of_slot = dist[scene.slot_pair]
+    pair_dist_of_slot = dist[slot_pr]
     active = (csdist <= tol) & (pair_dist_of_slot < tol)
     t1, t2 = orthonormal_basis(cnormal)
     return (
@@ -1050,6 +1109,9 @@ def narrow_phase(scene: sc.Scene, pos, quat_b, tol):
             depth=jnp.where(jnp.isfinite(csdist), csdist, 0.0),
             tan1=t1,
             tan2=t2,
+            s1=slot_s1,
+            s2=slot_s2,
+            pair=slot_pr,
         ),
     )
 

@@ -58,7 +58,7 @@ class ImpactResult(NamedTuple):
 def contact_velocities(scene: sc.Scene, pt: PoseTable, con: Contacts):
     """Per-slot relative velocity of body1's material point minus body2's,
     projected on (n, t1, t2) (UnilateralConstraint::calc_constraint_vel)."""
-    s1, s2 = scene.slot_s1, scene.slot_s2
+    s1, s2 = con.s1, con.s2
     r1 = con.point - pt.pos[s1]
     r2 = con.point - pt.pos[s2]
     vp1 = pt.vel[s1] + jnp.cross(pt.omega[s1], r1)
@@ -181,7 +181,7 @@ class Problem(NamedTuple):
 def _contact_rows(scene, pt: PoseTable, con: Contacts, act, d_vec):
     """(K, ngc) rows: [d, r×d]·W_s1 − [d, r×d]·W_s2
     (add_contact_dir_to_Jacobian, src/ImpactConstraintHandler.cpp:1857)."""
-    s1, s2 = scene.slot_s1, scene.slot_s2
+    s1, s2 = con.s1, con.s2
     dm = jnp.where(act[:, None], d_vec, 0.0)
     r1 = con.point - pt.pos[s1]
     r2 = con.point - pt.pos[s2]
@@ -300,8 +300,8 @@ def assemble_problem(scene, st, pt: PoseTable, con: Contacts, act, act_lim) -> P
 
     # contact rows for all 3 directions in one einsum batch
     if K:
-        s1 = jnp.concatenate([scene.slot_s1] * 3)
-        s2 = jnp.concatenate([scene.slot_s2] * 3)
+        s1 = jnp.concatenate([con.s1] * 3)
+        s2 = jnp.concatenate([con.s2] * 3)
         D = jnp.concatenate([con.normal, con.tan1, con.tan2], axis=0)
         act3 = jnp.concatenate([act] * 3)
         pts = jnp.concatenate([con.point] * 3, axis=0)
@@ -364,17 +364,18 @@ def assemble_problem(scene, st, pt: PoseTable, con: Contacts, act, act_lim) -> P
 
         il = _live_free_idx(scene)
         Minv_blk = free_inv_inertia_blocks_live(scene, st.quat)
-        # live-compressed rows straight from the per-slot wrenches: the
-        # slot→body incidence is static, so J[k]'s block for live body b is
-        # ±w1/w2 — no (·, ngc) intermediate and no einsum against the
-        # constant W table in the hot graph (NL == 0 here: joint limits
-        # imply articulated bodies)
-        s1_np = _np.concatenate([_np.asarray(scene.slot_s1)] * 3)
-        s2_np = _np.concatenate([_np.asarray(scene.slot_s2)] * 3)
-        m1 = jnp.asarray((s1_np[:, None] == il[None, :]).astype(
-            _np.dtype(dtype)))
-        m2 = jnp.asarray((s2_np[:, None] == il[None, :]).astype(
-            _np.dtype(dtype)))
+        # live-compressed rows straight from the per-slot wrenches: J[k]'s
+        # block for live body b is ±w1/w2 — no (·, ngc) intermediate and no
+        # einsum against the constant W table in the hot graph (NL == 0
+        # here: joint limits imply articulated bodies). The incidence masks
+        # come from con.s1/s2: compile-time constants for static scenes
+        # (XLA folds the comparison), runtime one-hot rows for pooled
+        # scenes (set_pair_pool), where slot->body identity is data.
+        il_j = jnp.asarray(il, jnp.int32)
+        s1_3 = jnp.concatenate([con.s1] * 3)
+        s2_3 = jnp.concatenate([con.s2] * 3)
+        m1 = (s1_3[:, None] == il_j[None, :]).astype(dtype)
+        m2 = (s2_3[:, None] == il_j[None, :]).astype(dtype)
         Jr_live = (m1[:, :, None] * w1[:, None, :]
                    - m2[:, :, None] * w2[:, None, :])  # (3K, n_live, 6)
         A = jnp.einsum("anp,npq,bnq->ab", Jr_live, Minv_blk, Jr_live)
@@ -745,7 +746,15 @@ def resolve_impacts(
 
 def group_labels(scene, con):
     """Island label of every contact slot and limit slot (the connected
-    constraint groups of `determine_connected_constraints`)."""
+    constraint groups of `determine_connected_constraints`).
+
+    Pooled scenes (set_pair_pool): slot->body incidence is runtime data, so
+    the static island propagation doesn't apply — the whole scene is one
+    constraint group (conservative: separating members simply receive zero
+    impulses in the joint solve; model routing is compile-time uniform)."""
+    if scene.has_dyn_slots:
+        return (jnp.zeros(scene.n_contacts, jnp.int32),
+                jnp.zeros(scene.n_limits, jnp.int32))
     labels = island_labels(scene, con.active)
     ns = scene.n_pose_slots
     s1, s2 = scene.slot_s1, scene.slot_s2

@@ -93,10 +93,10 @@ def penalty_forces(scene: sc.Scene, pt, con):
         return f_gc
     compl_slots = scene.slot_compliant & (con.depth < 0.0)
     # deepest per pair
-    pair_min = jnp.full(scene.n_pairs, jnp.inf, dtype).at[scene.slot_pair].min(
+    pair_min = jnp.full(scene.n_pairs, jnp.inf, dtype).at[con.pair].min(
         jnp.where(compl_slots, con.depth, jnp.inf)
     )
-    deepest = compl_slots & (con.depth <= pair_min[scene.slot_pair] + 0.0)
+    deepest = compl_slots & (con.depth <= pair_min[con.pair] + 0.0)
 
     cnv, csv, ctv = impact.contact_velocities(scene, pt, con)
     fN = jnp.maximum(
@@ -107,7 +107,7 @@ def penalty_forces(scene: sc.Scene, pt, con):
     fs = -jnp.sign(csv) * fN * scene.slot_mu_v
     ft = -jnp.sign(ctv) * fN * scene.slot_mu_v
     # force on body1 along +n (+tangential), reaction on body2
-    s1, s2 = scene.slot_s1, scene.slot_s2
+    s1, s2 = con.s1, con.s2
     fvec = (
         fN[:, None] * con.normal + fs[:, None] * con.tan1 + ft[:, None] * con.tan2
     )
@@ -225,7 +225,7 @@ def ca_euler_step(scene: sc.Scene, st, pt, min_dist_obs):
     step_generic = jnp.where(total > 0.0, dist_eff / total, INF)
 
     cnv, _, _ = impact.contact_velocities(scene, pt, con)
-    slot_pair = scene.slot_pair
+    slot_pair = con.pair
     slot_touch = con.active
     approaching = jnp.zeros(scene.n_pairs, bool).at[slot_pair].max(
         slot_touch & (cnv < -nz)

@@ -213,20 +213,42 @@ def _mpc_xla(M, q, mask, z0, skip):
         * lcp_mod._masked_norm_inf(Mp, mask)
     )
     n = q.shape[-1]
-    Mreg = Mp + lam * jnp.eye(n, dtype=dtype) * mask.astype(dtype)
-    z_rg, ok_rg = lcp_mod.lcp_bpp(Mreg, qp, mask, z0=z0,
-                                  skip=skip | ok_bp, max_iters=bpp_iters)
-    ok_rg = ok_rg & lcp_mod._verify(Mreg, qp, z_rg, mask, check_tol)
-    ok_2 = ok_bp | ok_rg
-    z = jnp.where(ok_bp, z_bp, z_rg)
-    # stage 3: full-depth principal pivoting on the original problem
-    z2, ok2 = lcp_mod.lcp_fast(M, q, mask, z0=z0, skip=ok_2 | skip)
-    ok12 = ok_2 | ok2
-    z = jnp.where(ok_2, z, z2)
-    # stage 4: the production Tikhonov sweep (very rare by now).
-    # MOBY_MPC_RESCUE=0 disables stages beyond 3 (debug).
-    import os
-
+    if os.environ.get("MOBY_MPC_STAGE2", "1") != "0":
+        Mreg = Mp + lam * jnp.eye(n, dtype=dtype) * mask.astype(dtype)
+        z_rg, ok_rg = lcp_mod.lcp_bpp(Mreg, qp, mask, z0=z0,
+                                      skip=skip | ok_bp, max_iters=bpp_iters)
+        ok_rg = ok_rg & lcp_mod._verify(Mreg, qp, z_rg, mask, check_tol)
+        ok_2 = ok_bp | ok_rg
+        z = jnp.where(ok_bp, z_bp, z_rg)
+    else:
+        ok_2 = ok_bp
+        z = z_bp
+    # stages 3..: shallow Tikhonov LADDER of regularized BPPs — the r5
+    # redesign of the rescue tail, shaped by on-device stage accounting
+    # (scripts/ur10_cascade_ab.py, 2026-08-21, B=256 real hulls, recording
+    # rollout): the full-depth `lcp_fast` stage cost 338 ms and rescued 1
+    # member in 256; the production Tikhonov/lcp_fast sweep cost 2209 ms of
+    # the 2731 ms rollout (81%) and fired for ~30% of members. Each ladder
+    # rung is one λ-regularized 12-iter BPP (~60 ms lock-step), with λ
+    # growing geometrically — the same expanding-λ acceptance semantics as
+    # the reference's regularized wrappers (src/LCP.cpp:353-487: accept the
+    # first λ whose REGULARIZED solution verifies), but with the shallow
+    # block-pivoting inner solver instead of O(n) Murty pivot chains.
+    ladder = os.environ.get("MOBY_MPC_LADDER", "30,1000")
+    for mult_s in [m for m in ladder.split(",") if m]:
+        mult = float(mult_s)
+        lam_i = lam * jnp.asarray(mult, dtype)
+        Mreg_i = Mp + lam_i * jnp.eye(n, dtype=dtype) * mask.astype(dtype)
+        z_i, ok_i = lcp_mod.lcp_bpp(Mreg_i, qp, mask, z0=z0,
+                                    skip=skip | ok_2, max_iters=bpp_iters)
+        ok_i = ok_i & lcp_mod._verify(Mreg_i, qp, z_i, mask, check_tol)
+        z = jnp.where(ok_2, z, z_i)
+        ok_2 = ok_2 | ok_i
+    ok12 = ok_2
+    # final safety net: the production Tikhonov/lcp_fast sweep. With the
+    # ladder in front it fires ~never (all-skip => its while_loop exits at
+    # the first cond check), but keeps worst-case robustness identical to
+    # the reference cascade. MOBY_MPC_RESCUE=0 disables (debug).
     if os.environ.get("MOBY_MPC_RESCUE", "1") != "0":
         z3, ok3 = lcp_mod.lcp_fast_regularized(M, q, mask, z0=z0,
                                                skip=ok12 | skip)

@@ -1118,8 +1118,10 @@ def _solve_fast_lemke_xla(M, q, mask, z0=None, skip=None, with_stats=False):
 
     if skip is None:
         skip = jnp.array(False)
-    z_bp, ok_bp, piv_bp = lcp_bpp(M, q, mask, z0=z0, skip=skip,
-                                  with_pivots=True)
+    z_bp, ok_bp, piv_bp = lcp_bpp(
+        M, q, mask, z0=z0, skip=skip, with_pivots=True,
+        na_cap=bpp_compact_cap(q.shape[-1]) if _use_gj(dtype) else None,
+    )
     ok_bp = ok_bp & _verify(Mp, qp, z_bp, mask, check_tol)
 
     z, ok = lcp_fast(M, q, mask, z0=z0, skip=ok_bp | skip)
@@ -1161,8 +1163,10 @@ def _solve_lcp_xla(M, q, mask, z0=None, skip=None, with_stats=False):
 
     if skip is None:
         skip = jnp.array(False)
-    z_bp, ok_bp, piv_bp = lcp_bpp(M, q, mask, z0=z0, skip=skip,
-                                  with_pivots=True)
+    z_bp, ok_bp, piv_bp = lcp_bpp(
+        M, q, mask, z0=z0, skip=skip, with_pivots=True,
+        na_cap=bpp_compact_cap(q.shape[-1]) if _use_gj(dtype) else None,
+    )
     ok_bp = ok_bp & _verify(Mp, qp, z_bp, mask, check_tol)
 
     z, ok = lcp_fast_regularized(
