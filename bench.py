@@ -295,10 +295,19 @@ def bench_ur10_mpc():
     n_iters = 4
     prob, batched, cost, cost_final, us0 = _ur10_setup(B)
 
+    # mu_init=0.1 (MOBY_BENCH_UR10_MU0): with the r5 gradient fixes the
+    # articulated backward pass produces real (finite) gains, and the
+    # contact-regularized Quu needs this much Levenberg mu to be PD from
+    # iteration 1 — at the old 1e-6 the first ~5 iterations only inflate
+    # mu, so a 4-iteration solve accepted nothing (measured: mean cost
+    # 7.34 -> 4.76 in 4 iters at mu0=0.1; du=0 at mu0=1e-6)
+    mu0 = float(os.environ.get("MOBY_BENCH_UR10_MU0", "0.1"))
+
     @jax.jit
     def sweep(states):
         return contact_mpc.solve_batch(
-            prob, states, cost, cost_final, us0=us0, n_iters=n_iters
+            prob, states, cost, cost_final, us0=us0, n_iters=n_iters,
+            mu_init=mu0,
         ).cost
 
     out = sweep(batched)

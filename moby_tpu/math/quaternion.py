@@ -72,29 +72,39 @@ def to_matrix(q):
 
 
 def from_matrix(R):
-    """Quaternion (xyzw) from rotation matrix. Shepperd's method, branchless."""
+    """Quaternion (xyzw) from rotation matrix. Shepperd's method, branchless.
+
+    The sqrt arguments are floored at 1e-12 instead of 0: all four
+    candidates are computed and only the max-pivot one is selected, but
+    reverse-mode AD still pulls (zero) cotangents through the UNSELECTED
+    branches — sqrt(0) there has an infinite derivative and 0*inf = NaN
+    poisons every gradient that touches FK (the bug that silently zeroed
+    the whole articulated-MPC backward pass through round 4: iLQR rejected
+    every NaN-gain step, so ur10 "solves" never moved the controls). The
+    floor is inert for values: the selected candidate's argument is
+    always >= 1."""
     m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
     m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
     m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
     tr = m00 + m11 + m22
 
     # four candidate constructions; pick the numerically best by max pivot
-    qw0 = jnp.sqrt(jnp.maximum(0.0, 1.0 + tr)) / 2
+    qw0 = jnp.sqrt(jnp.maximum(1e-12, 1.0 + tr)) / 2
     qx0 = (m21 - m12) / jnp.maximum(4 * qw0, 1e-30)
     qy0 = (m02 - m20) / jnp.maximum(4 * qw0, 1e-30)
     qz0 = (m10 - m01) / jnp.maximum(4 * qw0, 1e-30)
 
-    qx1 = jnp.sqrt(jnp.maximum(0.0, 1.0 + m00 - m11 - m22)) / 2
+    qx1 = jnp.sqrt(jnp.maximum(1e-12, 1.0 + m00 - m11 - m22)) / 2
     qw1 = (m21 - m12) / jnp.maximum(4 * qx1, 1e-30)
     qy1 = (m01 + m10) / jnp.maximum(4 * qx1, 1e-30)
     qz1 = (m02 + m20) / jnp.maximum(4 * qx1, 1e-30)
 
-    qy2 = jnp.sqrt(jnp.maximum(0.0, 1.0 - m00 + m11 - m22)) / 2
+    qy2 = jnp.sqrt(jnp.maximum(1e-12, 1.0 - m00 + m11 - m22)) / 2
     qw2 = (m02 - m20) / jnp.maximum(4 * qy2, 1e-30)
     qx2 = (m01 + m10) / jnp.maximum(4 * qy2, 1e-30)
     qz2 = (m12 + m21) / jnp.maximum(4 * qy2, 1e-30)
 
-    qz3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - m00 - m11 + m22)) / 2
+    qz3 = jnp.sqrt(jnp.maximum(1e-12, 1.0 - m00 - m11 + m22)) / 2
     qw3 = (m10 - m01) / jnp.maximum(4 * qz3, 1e-30)
     qx3 = (m02 + m20) / jnp.maximum(4 * qz3, 1e-30)
     qy3 = (m12 + m21) / jnp.maximum(4 * qz3, 1e-30)

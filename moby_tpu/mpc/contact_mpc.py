@@ -377,6 +377,7 @@ def solve_batch(
     hoist_linearization: bool = False,
     linearize_fwd: bool = False,
     rr_warm_start: bool = True,
+    mu_init: float = 1e-6,
 ) -> ilqr.ILQRResult:
     """Batched contact-MPC solve through `ilqr.ilqr_batched`: identical
     per-scenario semantics to `vmap(solve)` but with the batch-voted
@@ -424,7 +425,7 @@ def solve_batch(
         else jnp.zeros((prob.horizon, nu), x0s.dtype)
     )
     return ilqr.ilqr_batched(
-        f, cost, cost_final, x0s, us0, n_iters=n_iters,
+        f, cost, cost_final, x0s, us0, n_iters=n_iters, mu_init=mu_init,
         f_record=f_rec, f_replay=f_rep,
         hoist_linearization=hoist_linearization,
         linearize_fwd=(

@@ -509,8 +509,19 @@ def build_qp_lcp(scene: sc.Scene, p: Problem, act, act_lim):
     bv = jnp.concatenate([p.Cn_v, p.Cs_v, p.Ct_v, p.L_v])
     MM = jnp.asarray(S) * p.A[jnp.asarray(I), jnp.asarray(J)] + jnp.asarray(C)
     qq = jnp.asarray(qs) * bv[jnp.asarray(qm)]
-    if scene.n_friction_rows:
-        tvel = jnp.sqrt(p.Cs_v ** 2 + p.Ct_v ** 2)
+    # viscous term mu_v*|v_t|: statically skipped when every mu_v is zero —
+    # not just dead weight: d sqrt(x^2+y^2) at (0,0) is 0/0 = NaN, and a
+    # resting contact has EXACTLY zero tangential velocity, so under
+    # jacrev the zero qt weight times the NaN subgradient poisoned the
+    # whole (M, q) pullback (with the from_matrix trap, the second half of
+    # the bug that froze the articulated MPC backward pass through r4).
+    # With nonzero mu_v the sqrt argument is floored at tiny: the value
+    # shift is ~1e-19 and the |v_t| subgradient at 0 becomes 0 (the
+    # correct element of the subdifferential).
+    if scene.n_friction_rows and float(
+            _np.max(_np.asarray(scene.slot_mu_v))) != 0.0:
+        tiny = jnp.asarray(_np.finfo(_np.dtype(dtype)).tiny, dtype)
+        tvel = jnp.sqrt(jnp.maximum(p.Cs_v ** 2 + p.Ct_v ** 2, tiny))
         qq = qq + jnp.asarray(qt) * tvel[jnp.asarray(qf)]
 
     fr = scene.fr_con

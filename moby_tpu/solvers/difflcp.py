@@ -82,6 +82,20 @@ def _prep_bwd(M, z, mask, transpose: bool = True):
     dtype = M.dtype
     n = z.shape[-1]
     MT = M.T if transpose else M
+    # Tikhonov-regularize the active block before inverting: contact-LCP
+    # active sets are ROUTINELY rank-deficient (e.g. ur10: >= 14 active
+    # impulse directions through a rank-<=12 Delassus — redundant manifold
+    # points + friction splits), so the exact M_AA^{-1} does not exist.
+    # The r4 code NaN-poisoned (f32) or silently zeroed (f64) the pullback
+    # there, which froze the ENTIRE articulated MPC backward pass — every
+    # iLQR step carried NaN gains and was rejected, so ur10 "solves" never
+    # moved the controls. The lambda*I shift selects the smoothed element
+    # of the IFT subdifferential (the standard soft-IFT of differentiable
+    # contact solvers; the value analog of the reference's greedy
+    # full-rank row selection, src/ImpactConstraintHandler.cpp:1082-1110)
+    # and perturbs well-conditioned blocks by O(lambda/sigma_min).
+    lam = (jnp.asarray(np.sqrt(np.finfo(np.dtype(dtype)).eps), dtype)
+           * lcp_mod._masked_norm_inf(MT, mask))
     na = _compact_cap(n) if lcp_mod._use_gj(dtype) else 0
     if na:
         # compact: gather the active rows/cols of M^T to the top-left
@@ -92,7 +106,7 @@ def _prep_bwd(M, z, mask, transpose: bool = True):
         rowm = jnp.arange(na) < cnt
         sub = (P @ MT) @ P.T                                # (NA, NA)
         subm = jnp.where(rowm[:, None] & rowm[None, :], sub, 0.0) + jnp.diag(
-            jnp.where(rowm, 0.0, 1.0).astype(dtype)
+            jnp.where(rowm, lam, 1.0).astype(dtype)
         )
         inv_c, ok = lcp_mod.gj_invert_masked(subm, rowm)
         # active set exceeding the cap: poison the pullback (NaN) so the
@@ -103,7 +117,7 @@ def _prep_bwd(M, z, mask, transpose: bool = True):
         return active, (inv_c, P)
     outer = active[:, None] & active[None, :]
     A_T = jnp.where(outer, MT, 0.0) + jnp.diag(
-        jnp.where(active, 0.0, 1.0).astype(dtype)
+        jnp.where(active, lam, 1.0).astype(dtype)
     )
     if lcp_mod._use_gj(dtype):
         Ainv_T, ok = lcp_mod.gj_invert_masked(A_T, active)

@@ -125,7 +125,9 @@ def main():
         @jax.jit
         def sweep(states, kw=kws[m]):
             return contact_mpc.solve_batch(
-                prob, states, cost, cost_final, us0=us0, n_iters=4, **kw
+                prob, states, cost, cost_final, us0=us0, n_iters=4,
+                mu_init=float(os.environ.get("MOBY_BENCH_UR10_MU0", "0.1")),
+                **kw
             ).cost
 
         t0 = time.time()

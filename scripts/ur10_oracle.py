@@ -44,6 +44,7 @@ def main():
     def sweep(states):
         return contact_mpc.solve_batch(
             prob, states, cost, cost_final, us0=us0, n_iters=4,
+            mu_init=float(os.environ.get("MOBY_BENCH_UR10_MU0", "0.1")),
             record_replay=True).cost
 
     out = np.asarray(sweep(sub))

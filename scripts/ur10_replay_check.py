@@ -42,7 +42,8 @@ def phase_a():
     @jax.jit
     def sweep(states):
         return contact_mpc.solve_batch(
-            prob, states, cost, cost_final, us0=us0, n_iters=4)
+            prob, states, cost, cost_final, us0=us0, n_iters=4,
+            mu_init=float(os.environ.get("MOBY_BENCH_UR10_MU0", "0.1")))
 
     res = sweep(batched)
     jax.block_until_ready(res.cost)
