@@ -203,6 +203,24 @@ def _mpc_xla(M, q, mask, z0, skip):
         else None,
     )
     ok_bp = ok_bp & lcp_mod._verify(Mp, qp, z_bp, mask, check_tol)
+    # optional per-problem Pallas PPM rescue between stage 1 and the
+    # regularized stages (MOBY_MPC_PALLAS=1): each grid program runs
+    # exactly its own pivot count, so one straggler member stops
+    # lock-stepping the whole batch through regularized BPP iterations —
+    # the decoupling lever for large-B scaling (the same kernel the
+    # non-MPC `_solve_accel` cascade uses)
+    if os.environ.get("MOBY_MPC_PALLAS", "0") == "1":
+        from . import pallas_lcp
+
+        interp = jax.default_backend() == "cpu"
+        m_eff = mask & ~skip & ~ok_bp
+        z0_eff = None if z0 is None else jnp.where(m_eff, z0, 0.0)
+        z_pl, done_pl = pallas_lcp.ppm_lcp_one(M, q, m_eff, z0=z0_eff,
+                                               interpret=interp)
+        ok_pl = (done_pl & lcp_mod._verify(Mp, qp, z_pl, m_eff, check_tol)
+                 & ~ok_bp & ~skip & jnp.any(m_eff))
+        z_bp = jnp.where(ok_pl, z_pl, z_bp)
+        ok_bp = ok_bp | ok_pl
     # stage 2: single-λ Tikhonov BPP. Degenerate active sets (the routine
     # failure of the rank-deficient impact LCPs) become strictly monotone
     # under M+λI, where BPP converges in a handful of iterations;

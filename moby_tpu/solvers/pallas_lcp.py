@@ -243,7 +243,7 @@ def _bpp_kernel(M_ref, q_ref, mask_ref, z0_ref, z_ref, ok_ref, *, n: int,
                 max_bpp: int, max_piv: int, p_budget: int = 3):
     _bpp_kernel_body(
         M_ref[0], q_ref[0], mask_ref[0], z0_ref[0],
-        lambda z_row: z_ref.__setitem__(0, z_row),
+        lambda z_col: z_ref.__setitem__(0, z_col),
         lambda ok_v: ok_ref.__setitem__(0, ok_v),
         n=n, max_bpp=max_bpp, max_piv=max_piv, p_budget=p_budget,
     )
@@ -256,13 +256,13 @@ def _bpp_kernel_single(M_ref, q_ref, mask_ref, z0_ref, z_ref, ok_ref, *,
     under `jax.vmap` in the stepper) reaches the kernel."""
     _bpp_kernel_body(
         M_ref[...], q_ref[...], mask_ref[...], z0_ref[...],
-        lambda z_row: z_ref.__setitem__(..., z_row),
+        lambda z_col: z_ref.__setitem__(..., z_col),
         lambda ok_v: ok_ref.__setitem__(..., ok_v),
         n=n, max_bpp=max_bpp, max_piv=max_piv, p_budget=p_budget,
     )
 
 
-def _bpp_kernel_body(M, q_row, mask_row, z0_row, write_z, write_ok, *, n: int,
+def _bpp_kernel_body(M, q_col, mask_col, z0_col, write_z, write_ok, *, n: int,
                      max_bpp: int, max_piv: int, p_budget: int = 3):
     """Block principal pivoting (Júdice–Pires) with PPM fallback, one LCP per
     grid program, fully VMEM-resident.
@@ -288,21 +288,24 @@ def _bpp_kernel_body(M, q_row, mask_row, z0_row, write_z, write_ok, *, n: int,
     problem (used for skip gating).
     """
     dtype = M.dtype
-    valid_row = mask_row > 0              # (1, n)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     eye_b = rows == cols
 
-    def row_to_col(x_row):
-        return jnp.sum(jnp.where(eye_b, x_row, 0.0), axis=1, keepdims=True)
-
     def col_to_row(x_col):
         return jnp.sum(jnp.where(eye_b, x_col, 0.0), axis=0, keepdims=True)
 
-    q = row_to_col(q_row)                                    # (n, 1)
-    valid = row_to_col(valid_row.astype(dtype)) > 0          # (n, 1)
-    z0 = row_to_col(z0_row)
+    # COLUMN I/O throughout: converting (1, n) row inputs via the masked
+    # diagonal reduction was the Mosaic "Lane broadcast" trigger — the
+    # identical loop body compiles with native (n, 1) inputs but fails when
+    # its operands are row-sourced (bisected 2026-08-22 via
+    # /tmp-style standalone probes; the PPM body tolerates the row form,
+    # the BPP flag algebra does not).
+    q = q_col                                                # (n, 1)
+    valid = mask_col > 0                                     # (n, 1)
+    z0 = z0_col
+    valid_row = col_to_row(valid.astype(dtype)) > 0          # (1, n)
 
     eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
     vout = valid & valid_row
@@ -360,7 +363,7 @@ def _bpp_kernel_body(M, q_row, mask_row, z0_row, write_z, write_ok, *, n: int,
         return jnp.where(nb, b, 0.0)
 
     if _STOP_AFTER == 0:  # debug bisection: preamble only
-        write_z(col_to_row(qv))
+        write_z(qv)
         write_ok(jnp.zeros((1, 1), jnp.int32))
         return
 
@@ -396,19 +399,25 @@ def _bpp_kernel_body(M, q_row, mask_row, z0_row, write_z, write_ok, *, n: int,
         H1 = F & (z_nb < -ztol)
         H2 = bas & (w < -ztol)
         viol = H1 | H2
-        # float reduce + cast: Mosaic has no int32 full-reduction on (n, 1)
-        ninf = jnp.sum(viol.astype(dtype)).astype(jnp.int32)
-        solved = ninf == 0
+        # keep EVERY derived scalar in float: the original int algebra here
+        # (float-reduce .astype(int32), int compares/where/maximum on the
+        # infeasibility and Murty-budget counters) was what Mosaic rejected
+        # with "Not implemented: Lane broadcast" (r4 bisection; the PPM body
+        # below, whose scalars are float comparisons, always compiled)
+        ninf = jnp.sum(viol.astype(dtype))
+        solved = ninf == 0.0
 
         improved = ninf < ninf_i
-        p_next = jnp.where(improved, jnp.int32(p_budget), p_i - 1)
+        p_next = jnp.where(improved, jnp.asarray(float(p_budget), dtype),
+                           p_i - 1.0)
 
         if _NO_MURTY:
             H1e, H2e = H1, H2
         else:
-            first_idx = jnp.min(jnp.where(viol, ridx, jnp.int32(n)))
-            single = (ridx == first_idx) & viol
-            use_block = p_next > 0
+            fidx = jnp.min(jnp.where(viol, ridx.astype(dtype),
+                                     jnp.asarray(float(n), dtype)))
+            single = (ridx.astype(dtype) == fidx) & viol
+            use_block = p_next > 0.0
             H1e = (H1 & use_block) | (single & H1 & jnp.logical_not(use_block))
             H2e = (H2 & use_block) | (single & H2 & jnp.logical_not(use_block))
         F_next = (F & jnp.logical_not(H1e)) | H2e
@@ -419,7 +428,7 @@ def _bpp_kernel_body(M, q_row, mask_row, z0_row, write_z, write_ok, *, n: int,
             jnp.where(solved, jnp.int32(1), jnp.int32(0)),
             it + 1,
             jnp.where(improved, ninf, ninf_i),
-            jnp.maximum(p_next, jnp.int32(0)),
+            jnp.maximum(p_next, jnp.asarray(0.0, dtype)),
         )
 
     def bpp_cond(carry):
@@ -435,14 +444,14 @@ def _bpp_kernel_body(M, q_row, mask_row, z0_row, write_z, write_ok, *, n: int,
             zq,
             jnp.where(trivial, jnp.int32(1), jnp.int32(0)),
             jnp.int32(0),
-            jnp.int32(n + 1),
-            jnp.int32(p_budget),
+            jnp.asarray(float(n + 1), dtype),
+            jnp.asarray(float(p_budget), dtype),
         ),
     )
     bpp_done = bpp_done_i > 0
 
     if _STOP_AFTER == 1:  # debug bisection: BPP only
-        write_z(col_to_row(jnp.where(valid, z_bpp, 0.0)))
+        write_z(jnp.where(valid, z_bpp, 0.0))
         write_ok(jnp.zeros((1, 1), jnp.int32) + jnp.where(bpp_done, 1, 0))
         return
 
@@ -490,7 +499,7 @@ def _bpp_kernel_body(M, q_row, mask_row, z0_row, write_z, write_ok, *, n: int,
     z_out = jnp.where(valid & jnp.logical_not(trivial) & done, z_out, 0.0)
 
     if _STOP_AFTER == 2:  # debug bisection: no verification
-        write_z(col_to_row(z_out))
+        write_z(z_out)
         write_ok(jnp.zeros((1, 1), jnp.int32) + jnp.where(done, 1, 0))
         return
 
@@ -506,7 +515,7 @@ def _bpp_kernel_body(M, q_row, mask_row, z0_row, write_z, write_ok, *, n: int,
     ) & (jnp.max(jnp.abs(jnp.where(valid, zw, 0.0))) <= check_tol)
     ok = (done & ver) | trivial
 
-    write_z(col_to_row(z_out))
+    write_z(z_out)
     write_ok(jnp.zeros((1, 1), jnp.int32) + jnp.where(ok, 1, 0))
 
 
@@ -525,10 +534,12 @@ def bpp_lcp_one(M, q, mask, z0=None, max_bpp: int = 24,
     if z0 is None:
         z0 = jnp.zeros(n, dtype)
 
+    # column I/O (see _bpp_kernel_body: row-sourced operands trip a Mosaic
+    # "Lane broadcast" in the BPP flag algebra)
     Mp = jnp.zeros((npad, npad), dtype).at[:n, :n].set(M)
-    qp = jnp.zeros((1, npad), dtype).at[0, :n].set(q)
-    mp = jnp.zeros((1, npad), jnp.int32).at[0, :n].set(mask.astype(jnp.int32))
-    zp = jnp.zeros((1, npad), dtype).at[0, :n].set(z0)
+    qp = jnp.zeros((npad, 1), dtype).at[:n, 0].set(q)
+    mp = jnp.zeros((npad, 1), jnp.int32).at[:n, 0].set(mask.astype(jnp.int32))
+    zp = jnp.zeros((npad, 1), dtype).at[:n, 0].set(z0)
 
     kernel = partial(_bpp_kernel_single, n=npad, max_bpp=max_bpp,
                      max_piv=max_piv)
@@ -545,12 +556,12 @@ def bpp_lcp_one(M, q, mask, z0=None, max_bpp: int = 24,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, npad), dtype),
+            jax.ShapeDtypeStruct((npad, 1), dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         interpret=interpret,
     )(Mp, qp, mp, zp)
-    return z[0, :n], ok[0, 0] > 0
+    return z[:n, 0], ok[0, 0] > 0
 
 
 def bpp_lcp_batched(Ms, qs, masks, z0s=None, max_bpp: int = 24,
@@ -568,12 +579,13 @@ def bpp_lcp_batched(Ms, qs, masks, z0s=None, max_bpp: int = 24,
     if z0s is None:
         z0s = jnp.zeros((B, n), dtype)
 
+    # column I/O (see _bpp_kernel_body)
     Mp = jnp.zeros((B, npad, npad), dtype).at[:, :n, :n].set(Ms)
-    qp = jnp.zeros((B, 1, npad), dtype).at[:, 0, :n].set(qs)
-    mp = jnp.zeros((B, 1, npad), jnp.int32).at[:, 0, :n].set(
+    qp = jnp.zeros((B, npad, 1), dtype).at[:, :n, 0].set(qs)
+    mp = jnp.zeros((B, npad, 1), jnp.int32).at[:, :n, 0].set(
         masks.astype(jnp.int32)
     )
-    zp = jnp.zeros((B, 1, npad), dtype).at[:, 0, :n].set(z0s)
+    zp = jnp.zeros((B, npad, 1), dtype).at[:, :n, 0].set(z0s)
 
     kernel = partial(_bpp_kernel, n=npad, max_bpp=max_bpp, max_piv=max_piv)
     z, ok = pl.pallas_call(
@@ -582,26 +594,26 @@ def bpp_lcp_batched(Ms, qs, masks, z0s=None, max_bpp: int = 24,
         in_specs=[
             pl.BlockSpec((1, npad, npad), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npad), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, npad, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npad), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, npad, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npad), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, npad, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, npad), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, npad, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1, npad), dtype),
+            jax.ShapeDtypeStruct((B, npad, 1), dtype),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ),
         interpret=interpret,
     )(Mp, qp, mp, zp)
-    return z[:, 0, :n], ok[:, 0, 0] > 0
+    return z[:, :n, 0], ok[:, 0, 0] > 0
 
 
 def ppm_lcp_batched(Ms, qs, masks, max_piv: int | None = None,
